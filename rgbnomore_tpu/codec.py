@@ -1,0 +1,162 @@
+"""Host-side JPEG DCT coefficient codec (numpy interface).
+
+Thin wrapper over the C++ extension ``rgbnomore_tpu/native/dctcodec.cpp``.
+API parity with the reference extension (``dct_manip/dct_manip.cpp:578-669``):
+
+- :func:`read_coefficients`  — Huffman-decode only; returns quantized int16
+  coefficient blocks, quant tables and original dims.
+- :func:`read_into_canvas`   — the training-loader hot path: decode straight
+  into caller-owned fixed-size canvases (zero Python-level copies; releases
+  the GIL so a thread pool parallelizes across cores).
+- :func:`write_coefficients` / :func:`quantize_at_quality` /
+  :func:`write_tensor` / :func:`read_jpeg` / :func:`decode_coeff` — cold
+  utilities for dataset prep, debugging and pixel-space oracles.
+
+Shapes follow the reference exactly: Y ``(1, H/8, W/8, 8, 8)`` int16,
+CbCr ``(2, H/16, W/16, 8, 8)`` int16 (``None`` for grayscale), quant
+``(3, 8, 8)`` int16, dims ``(C, 2)`` int32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    from rgbnomore_tpu.native import _dctcodec  # type: ignore[attr-defined]
+except ImportError:  # first use: compile the extension in-place
+    from rgbnomore_tpu.native.build import build as _build
+
+    _build()
+    from rgbnomore_tpu.native import _dctcodec  # type: ignore[attr-defined]  # noqa: E501
+
+__all__ = [
+    "read_coefficients",
+    "read_into_canvas",
+    "write_coefficients",
+    "quantize_at_quality",
+    "write_tensor",
+    "read_jpeg",
+    "decode_coeff",
+]
+
+
+def _unpack_coeff_tuple(ret):
+    ncomp, dims_b, quant_b, (yh, yw, y_b), ctuple = ret
+    dims = np.frombuffer(dims_b, dtype=np.int32).reshape(ncomp, 2).copy()
+    quant = np.frombuffer(quant_b, dtype=np.int16).reshape(3, 8, 8)[:ncomp].copy()
+    y = np.frombuffer(y_b, dtype=np.int16).reshape(1, yh, yw, 8, 8).copy()
+    if ctuple is None:
+        return dims, quant, y, None
+    ch, cw, c_b = ctuple
+    cbcr = np.frombuffer(c_b, dtype=np.int16).reshape(2, ch, cw, 8, 8).copy()
+    return dims, quant, y, cbcr
+
+
+def read_coefficients(path: str):
+    """Read quantized DCT coefficients from a JPEG (entropy decode only).
+
+    Returns ``(dims (C,2) int32, quant (C,8,8) int16, Y (1,h,w,8,8) int16,
+    CbCr (2,h2,w2,8,8) int16 | None)``.
+    """
+    return _unpack_coeff_tuple(_dctcodec.read_coefficients(str(path)))
+
+
+def read_into_canvas(
+    path: str,
+    y_canvas: np.ndarray,
+    c_canvas: np.ndarray,
+    quant_out: np.ndarray,
+):
+    """Decode coefficients directly into fixed-size canvases (hot path).
+
+    ``y_canvas``: int16 C-contiguous, logically ``(1, YH, YW, 8, 8)``;
+    ``c_canvas``: int16, ``(2, CH, CW, 8, 8)``; ``quant_out``: int16
+    ``(3, 8, 8)``.  Canvases are zero-filled first; the image's blocks land
+    in the top-left corner.  Grayscale images leave chroma zero and chroma
+    quant tables at 1.
+
+    Returns ``(ncomp, yh, yw, ch, cw, img_h, img_w)`` — actual block counts
+    and the original (luma) pixel dims.
+    """
+    assert y_canvas.dtype == np.int16 and y_canvas.flags.c_contiguous
+    assert c_canvas.dtype == np.int16 and c_canvas.flags.c_contiguous
+    assert quant_out.dtype == np.int16 and quant_out.flags.c_contiguous
+    yh_c, yw_c = y_canvas.shape[-4], y_canvas.shape[-3]
+    ch_c, cw_c = c_canvas.shape[-4], c_canvas.shape[-3]
+    return _dctcodec.read_into_canvas(
+        str(path), y_canvas, yh_c, yw_c, c_canvas, ch_c, cw_c, quant_out
+    )
+
+
+def write_coefficients(path, dimensions, quantization, y, cbcr=None):
+    """Write raw coefficients to a JPEG file (inverse of read_coefficients)."""
+    dimensions = np.ascontiguousarray(dimensions, dtype=np.int32)
+    quant = np.zeros((3, 8, 8), np.int16)
+    quant[: quantization.shape[0]] = quantization
+    y = np.ascontiguousarray(y, dtype=np.int16)
+    img_h, img_w = int(dimensions[0, 0]), int(dimensions[0, 1])
+    if cbcr is None:
+        _dctcodec.write_coefficients(
+            str(path), img_h, img_w, quant, y, y.shape[1], y.shape[2], None, 0, 0
+        )
+    else:
+        cbcr = np.ascontiguousarray(cbcr, dtype=np.int16)
+        _dctcodec.write_coefficients(
+            str(path), img_h, img_w, quant, y, y.shape[1], y.shape[2], cbcr,
+            cbcr.shape[1], cbcr.shape[2],
+        )
+
+
+def quantize_at_quality(pixels: np.ndarray, quality: int, baseline: bool = True):
+    """Encode CHW uint8 pixels at ``quality`` and return their coefficients.
+
+    Bit-exact libjpeg quantization (the encode-then-reread trick of
+    ``dct_manip.cpp:315-375``).  Returns the same tuple as
+    :func:`read_coefficients`.
+    """
+    del baseline  # libjpeg baseline tables are always used here
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    c, h, w = pixels.shape
+    return _unpack_coeff_tuple(_dctcodec.quantize_at_quality(pixels, c, h, w, quality))
+
+
+def write_tensor(path, data: np.ndarray, quantization=None, quality: int = 100):
+    """Encode CHW uint8 pixels to a JPEG file with optional custom quant table."""
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    c, h, w = data.shape
+    if quantization is not None:
+        q = np.zeros((3, 8, 8), np.int16)
+        q[: np.asarray(quantization).shape[0]] = quantization
+        quantization = np.ascontiguousarray(q)
+    _dctcodec.write_tensor(str(path), data, c, h, w, quantization, quality)
+
+
+def read_jpeg(path) -> np.ndarray:
+    """Fully decode a JPEG to a CHW uint8 array."""
+    c, h, w, buf = _dctcodec.read_jpeg(str(path))
+    return np.frombuffer(buf, dtype=np.uint8).reshape(c, h, w).copy()
+
+
+def decode_coeff(dimensions, quantization, y, cbcr=None, quality: int = -1) -> np.ndarray:
+    """Decode raw DCT coefficients to CHW uint8 pixels.
+
+    ``quality > 0`` substitutes libjpeg's quality-derived quant table for the
+    provided one (``dct_manip.cpp:485-576``).
+    """
+    dimensions = np.ascontiguousarray(dimensions, dtype=np.int32)
+    quant = np.zeros((3, 8, 8), np.int16)
+    qarr = np.asarray(quantization, dtype=np.int16)
+    quant[: qarr.shape[0]] = qarr
+    y = np.ascontiguousarray(y, dtype=np.int16)
+    img_h, img_w = int(dimensions[0, 0]), int(dimensions[0, 1])
+    if cbcr is None:
+        c, h, w, buf = _dctcodec.decode_coeff(
+            img_h, img_w, quant, quality, y, y.shape[1], y.shape[2], None, 0, 0
+        )
+    else:
+        cbcr = np.ascontiguousarray(cbcr, dtype=np.int16)
+        c, h, w, buf = _dctcodec.decode_coeff(
+            img_h, img_w, quant, quality, y, y.shape[1], y.shape[2], cbcr,
+            cbcr.shape[1], cbcr.shape[2],
+        )
+    return np.frombuffer(buf, dtype=np.uint8).reshape(c, h, w).copy()

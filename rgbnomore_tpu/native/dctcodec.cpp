@@ -1,0 +1,822 @@
+// dctcodec — host-side JPEG DCT coefficient codec for the TPU pipeline.
+//
+// CPython extension (no pybind11/numpy C-API): functions speak Python
+// bytes / buffer-protocol objects; the thin numpy wrapper lives in
+// rgbnomore_tpu/codec.py.
+//
+// Capability parity with the reference extension dct_manip/dct_manip.cpp
+// (JeongsooP/RGB-no-more), re-implemented from the libjpeg API directly:
+//   read_coefficients     (dct_manip.cpp:152-178)  header+Huffman decode only
+//   read_into_canvas      (new, TPU hot path)      decode into caller canvas
+//   write_coefficients    (dct_manip.cpp:265-313)
+//   quantize_at_quality   (dct_manip.cpp:315-375)
+//   write_tensor          (dct_manip.cpp:377-424)
+//   read_jpeg             (dct_manip.cpp:426-483)
+//   decode_coeff          (dct_manip.cpp:485-576)
+//
+// The hot function (read_into_canvas) releases the GIL around all libjpeg
+// work so a thread-pool loader scales across host cores.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdio>
+#include <csetjmp>
+#include <cstring>
+#include <cstdint>
+#include <string>
+#include <vector>
+
+#include <jpeglib.h>
+
+namespace {
+
+constexpr int kDct = DCTSIZE;       // 8
+constexpr int kDct2 = DCTSIZE2;     // 64
+
+// ---------------------------------------------------------------------------
+// Error handling: libjpeg is C, so we longjmp out of its error callback and
+// surface the message as a Python RuntimeError.
+// ---------------------------------------------------------------------------
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+  char message[JMSG_LENGTH_MAX];
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  (*cinfo->err->format_message)(cinfo, err->message);
+  longjmp(err->jump, 1);
+}
+
+long div_round_up(long a, long b) { return (a + b - 1) / b; }
+
+// ---------------------------------------------------------------------------
+// Core decode: entropy-decode DCT coefficients from an initialized
+// decompress struct into caller-provided storage.
+// ---------------------------------------------------------------------------
+struct CoeffInfo {
+  int num_components = 0;
+  // per component: blocks and downsampled pixel dims
+  int height_in_blocks[3] = {0, 0, 0};
+  int width_in_blocks[3] = {0, 0, 0};
+  int down_h[3] = {0, 0, 0};
+  int down_w[3] = {0, 0, 0};
+};
+
+// Copies component compNum's blocks into `out` laid out
+// (height_in_blocks, width_in_blocks, 8, 8) int16, with row stride
+// canvas_w blocks (>= width_in_blocks).  Rows/cols beyond the image are the
+// caller's responsibility (canvas pre-zeroing).
+void extract_component(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays,
+                       int comp, int16_t* out, int canvas_h, int canvas_w) {
+  const int hb = std::min<int>(cinfo.comp_info[comp].height_in_blocks, canvas_h);
+  const int wb = std::min<int>(cinfo.comp_info[comp].width_in_blocks, canvas_w);
+  for (int row = 0; row < hb; ++row) {
+    JBLOCKARRAY row_ptrs = (*cinfo.mem->access_virt_barray)(
+        reinterpret_cast<j_common_ptr>(&cinfo), arrays[comp], row, 1, FALSE);
+    int16_t* dst = out + static_cast<size_t>(row) * canvas_w * kDct2;
+    for (int b = 0; b < wb; ++b) {
+      std::memcpy(dst + static_cast<size_t>(b) * kDct2, row_ptrs[0][b],
+                  kDct2 * sizeof(int16_t));
+    }
+  }
+}
+
+void extract_quant(jpeg_decompress_struct& cinfo, int comp, int16_t* out) {
+  JQUANT_TBL* tbl = cinfo.comp_info[comp].quant_table;
+  if (tbl == nullptr) tbl = cinfo.quant_tbl_ptrs[cinfo.comp_info[comp].quant_tbl_no];
+  if (tbl == nullptr) {
+    for (int i = 0; i < kDct2; ++i) out[i] = 1;
+    return;
+  }
+  for (int i = 0; i < kDct2; ++i) out[i] = static_cast<int16_t>(tbl->quantval[i]);
+}
+
+// Reads coefficients; caller must already have called jpeg_read_header.
+// `y` must hold y_canvas_h*y_canvas_w blocks; `c` (may be null)
+// 2*c_canvas_h*c_canvas_w blocks; `quant` 3*64 int16.
+bool decode_coefficients(jpeg_decompress_struct& cinfo, CoeffInfo* info,
+                         int16_t* y, int y_canvas_h, int y_canvas_w,
+                         int16_t* c, int c_canvas_h, int c_canvas_w,
+                         int16_t* quant) {
+  jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
+
+  info->num_components = cinfo.num_components;
+  for (int i = 0; i < cinfo.num_components && i < 3; ++i) {
+    info->height_in_blocks[i] = cinfo.comp_info[i].height_in_blocks;
+    info->width_in_blocks[i] = cinfo.comp_info[i].width_in_blocks;
+    info->down_h[i] = cinfo.comp_info[i].downsampled_height;
+    info->down_w[i] = cinfo.comp_info[i].downsampled_width;
+  }
+
+  extract_component(cinfo, arrays, 0, y, y_canvas_h, y_canvas_w);
+  extract_quant(cinfo, 0, quant);
+
+  if (cinfo.num_components > 1 && c != nullptr) {
+    const size_t plane = static_cast<size_t>(c_canvas_h) * c_canvas_w * kDct2;
+    extract_component(cinfo, arrays, 1, c, c_canvas_h, c_canvas_w);
+    extract_component(cinfo, arrays, 2, c + plane, c_canvas_h, c_canvas_w);
+    extract_quant(cinfo, 1, quant + kDct2);
+    extract_quant(cinfo, 2, quant + 2 * kDct2);
+  } else {
+    for (int i = kDct2; i < 3 * kDct2; ++i) quant[i] = 1;
+  }
+
+  jpeg_finish_decompress(&cinfo);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Compress-side helpers (write_coefficients / decode_coeff / write_tensor).
+// ---------------------------------------------------------------------------
+
+// Configure component geometry for writing raw coefficients, mirroring the
+// reference's fill_extended_defaults (dct_manip.cpp:211-247) but with the
+// height-uses-width bug fixed (reference line 239 computed chroma
+// height_in_blocks from jpeg_width).
+void fill_extended_defaults(jpeg_compress_struct* cinfo, int color_samp = 2) {
+#if JPEG_LIB_VERSION >= 80
+  cinfo->jpeg_width = cinfo->image_width;
+  cinfo->jpeg_height = cinfo->image_height;
+#endif
+  jpeg_set_defaults(cinfo);
+
+  const long w = cinfo->image_width;
+  const long h = cinfo->image_height;
+
+  cinfo->comp_info[0].component_id = 1;
+  cinfo->comp_info[0].h_samp_factor = 1;
+  cinfo->comp_info[0].v_samp_factor = 1;
+  cinfo->comp_info[0].quant_tbl_no = 0;
+  cinfo->comp_info[0].width_in_blocks = div_round_up(w, kDct);
+  cinfo->comp_info[0].height_in_blocks = div_round_up(h, kDct);
+  cinfo->comp_info[0].MCU_width = 1;
+  cinfo->comp_info[0].MCU_height = 1;
+
+  if (cinfo->num_components > 1) {
+    cinfo->comp_info[0].h_samp_factor = color_samp;
+    cinfo->comp_info[0].v_samp_factor = color_samp;
+    cinfo->comp_info[0].MCU_width = color_samp;
+    cinfo->comp_info[0].MCU_height = color_samp;
+    for (int cidx = 1; cidx < cinfo->num_components; ++cidx) {
+      cinfo->comp_info[cidx].component_id = 1 + cidx;
+      cinfo->comp_info[cidx].h_samp_factor = 1;
+      cinfo->comp_info[cidx].v_samp_factor = 1;
+      cinfo->comp_info[cidx].quant_tbl_no = 1;
+      cinfo->comp_info[cidx].width_in_blocks = div_round_up(w, kDct * color_samp);
+      cinfo->comp_info[cidx].height_in_blocks = div_round_up(h, kDct * color_samp);
+      cinfo->comp_info[cidx].MCU_width = 1;
+      cinfo->comp_info[cidx].MCU_height = 1;
+    }
+  }
+#if JPEG_LIB_VERSION >= 70
+  cinfo->min_DCT_h_scaled_size = kDct;
+  cinfo->min_DCT_v_scaled_size = kDct;
+#endif
+}
+
+void set_quant_tables(jpeg_compress_struct* cinfo, const int16_t* quant, int ncomp) {
+  for (int t = 0; t < (ncomp > 1 ? 2 : 1); ++t) {
+    if (cinfo->quant_tbl_ptrs[t] == nullptr)
+      cinfo->quant_tbl_ptrs[t] = jpeg_alloc_quant_table(reinterpret_cast<j_common_ptr>(cinfo));
+    for (int i = 0; i < kDct2; ++i)
+      cinfo->quant_tbl_ptrs[t]->quantval[i] = static_cast<UINT16>(quant[t * kDct2 + i]);
+  }
+}
+
+jvirt_barray_ptr* request_block_storage(jpeg_compress_struct* cinfo) {
+  jvirt_barray_ptr* arrays = reinterpret_cast<jvirt_barray_ptr*>(
+      (*cinfo->mem->alloc_small)(reinterpret_cast<j_common_ptr>(cinfo), JPOOL_IMAGE,
+                                 sizeof(jvirt_barray_ptr) * cinfo->num_components));
+  for (int cidx = 0; cidx < cinfo->num_components; ++cidx) {
+    jpeg_component_info& comp = cinfo->comp_info[cidx];
+#if JPEG_LIB_VERSION >= 80
+    const long jw = cinfo->jpeg_width, jh = cinfo->jpeg_height;
+#else
+    const long jw = cinfo->image_width, jh = cinfo->image_height;
+#endif
+    int mcu_w = div_round_up(jw, comp.MCU_width);
+    int mcu_h = div_round_up(jh, comp.MCU_height);
+    arrays[cidx] = (*cinfo->mem->request_virt_barray)(
+        reinterpret_cast<j_common_ptr>(cinfo), JPOOL_IMAGE, TRUE, mcu_w, mcu_h,
+        comp.v_samp_factor);
+  }
+  return arrays;
+}
+
+// Write component blocks from (hb, wb, 8, 8) int16 layout.
+void store_component(jpeg_compress_struct& cinfo, jvirt_barray_ptr* arrays,
+                     int comp, const int16_t* src) {
+  const int hb = cinfo.comp_info[comp].height_in_blocks;
+  const int wb = cinfo.comp_info[comp].width_in_blocks;
+  for (int row = 0; row < hb; ++row) {
+    JBLOCKARRAY row_ptrs = (*cinfo.mem->access_virt_barray)(
+        reinterpret_cast<j_common_ptr>(&cinfo), arrays[comp], row, 1, TRUE);
+    for (int b = 0; b < wb; ++b) {
+      std::memcpy(row_ptrs[0][b], src + (static_cast<size_t>(row) * wb + b) * kDct2,
+                  kDct2 * sizeof(int16_t));
+    }
+  }
+}
+
+// Interleave planar CHW uint8 to libjpeg's H x (C*W) scanline layout.
+std::vector<uint8_t> interleave_chw(const uint8_t* data, int c, int h, int w) {
+  std::vector<uint8_t> out(static_cast<size_t>(h) * c * w);
+  for (int ci = 0; ci < c; ++ci)
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x)
+        out[static_cast<size_t>(y) * c * w + ci + static_cast<size_t>(c) * x] =
+            data[(static_cast<size_t>(ci) * h + y) * w + x];
+  return out;
+}
+
+// Compress coefficients (y + optional cbcr) into a JPEG, writing either to a
+// file (path != null) or to a malloc'd memory buffer.
+bool compress_coefficients(const char* path, unsigned char** membuf,
+                           unsigned long* memsize, int image_h, int image_w,
+                           bool color, const int16_t* quant, int quality,
+                           const int16_t* y, const int16_t* cbcr,
+                           int c_hb, int c_wb, std::string* errmsg) {
+  jpeg_compress_struct cinfo{};
+  ErrorMgr err{};
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = error_exit;
+  FILE* f = nullptr;
+  if (setjmp(err.jump)) {
+    *errmsg = err.message;
+    jpeg_destroy_compress(&cinfo);
+    if (f) fclose(f);
+    return false;
+  }
+  jpeg_create_compress(&cinfo);
+  if (path != nullptr) {
+    f = fopen(path, "wb");
+    if (!f) {
+      *errmsg = std::string("Unable to open file for writing: ") + path;
+      jpeg_destroy_compress(&cinfo);
+      return false;
+    }
+    jpeg_stdio_dest(&cinfo, f);
+  } else {
+    jpeg_mem_dest(&cinfo, membuf, memsize);
+  }
+
+  cinfo.image_height = image_h;
+  cinfo.image_width = image_w;
+  cinfo.input_components = color ? 3 : 1;
+  cinfo.in_color_space = color ? JCS_RGB : JCS_GRAYSCALE;
+  fill_extended_defaults(&cinfo);
+  if (quality > 0) {
+    jpeg_set_quality(&cinfo, quality, TRUE);
+  } else {
+    set_quant_tables(&cinfo, quant, color ? 3 : 1);
+  }
+
+  jvirt_barray_ptr* dest = request_block_storage(&cinfo);
+  jpeg_write_coefficients(&cinfo, dest);
+  store_component(cinfo, dest, 0, y);
+  if (color && cbcr != nullptr) {
+    const size_t plane = static_cast<size_t>(c_hb) * c_wb * kDct2;
+    store_component(cinfo, dest, 1, cbcr);
+    store_component(cinfo, dest, 2, cbcr + plane);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  if (f) fclose(f);
+  return true;
+}
+
+// Full decode of a JPEG (file or memory) to planar CHW uint8.
+bool decompress_pixels(const char* path, const unsigned char* membuf,
+                       unsigned long memsize, std::vector<uint8_t>* out,
+                       int* c, int* h, int* w, std::string* errmsg) {
+  jpeg_decompress_struct cinfo{};
+  ErrorMgr err{};
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = error_exit;
+  FILE* f = nullptr;
+  if (setjmp(err.jump)) {
+    *errmsg = err.message;
+    jpeg_destroy_decompress(&cinfo);
+    if (f) fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  if (path != nullptr) {
+    f = fopen(path, "rb");
+    if (!f) {
+      *errmsg = std::string("Unable to open file for reading: ") + path;
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    jpeg_stdio_src(&cinfo, f);
+  } else {
+    jpeg_mem_src(&cinfo, membuf, memsize);
+  }
+  jpeg_read_header(&cinfo, TRUE);
+  jpeg_start_decompress(&cinfo);
+  *c = cinfo.output_components;
+  *h = cinfo.output_height;
+  *w = cinfo.output_width;
+  out->resize(static_cast<size_t>(*c) * *h * *w);
+  std::vector<uint8_t> row(static_cast<size_t>(*w) * *c);
+  JSAMPROW rowptr[1] = {row.data()};
+  while (cinfo.output_scanline < cinfo.output_height) {
+    int y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, rowptr, 1);
+    for (int x = 0; x < *w; ++x)
+      for (int ci = 0; ci < *c; ++ci)
+        (*out)[(static_cast<size_t>(ci) * *h + y) * *w + x] = row[static_cast<size_t>(x) * *c + ci];
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  if (f) fclose(f);
+  return true;
+}
+
+// ===========================================================================
+// Python bindings
+// ===========================================================================
+
+// --- read_coefficients(path) ------------------------------------------------
+// Returns (ncomp, (dims int32 bytes), (quant int16 bytes),
+//          (yh, yw, y int16 bytes), (ch, cw, c int16 bytes) | None)
+PyObject* py_read_coefficients(PyObject*, PyObject* args) {
+  const char* path;
+  if (!PyArg_ParseTuple(args, "s", &path)) return nullptr;
+
+  jpeg_decompress_struct cinfo{};
+  ErrorMgr err{};
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = error_exit;
+
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    PyErr_Format(PyExc_FileNotFoundError, "Unable to open file for reading: %s", path);
+    return nullptr;
+  }
+
+  std::vector<int16_t> ybuf, cbuf;
+  int16_t quant[3 * kDct2];
+  CoeffInfo info;
+  bool ok = true;
+  std::string msg;
+
+  Py_BEGIN_ALLOW_THREADS;
+  if (setjmp(err.jump)) {
+    ok = false;
+    msg = err.message;
+  } else {
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    // allocate exactly-sized outputs now that dims are known
+    jpeg_decompress_struct cinfo2 = cinfo;  // header info already parsed
+    (void)cinfo2;
+    int yh = cinfo.comp_info[0].height_in_blocks;
+    int yw = cinfo.comp_info[0].width_in_blocks;
+    ybuf.resize(static_cast<size_t>(yh) * yw * kDct2);
+    int chh = 0, cww = 0;
+    if (cinfo.num_components > 1) {
+      chh = cinfo.comp_info[1].height_in_blocks;
+      cww = cinfo.comp_info[1].width_in_blocks;
+      cbuf.resize(2 * static_cast<size_t>(chh) * cww * kDct2);
+    }
+    jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
+    info.num_components = cinfo.num_components;
+    for (int i = 0; i < cinfo.num_components && i < 3; ++i) {
+      info.height_in_blocks[i] = cinfo.comp_info[i].height_in_blocks;
+      info.width_in_blocks[i] = cinfo.comp_info[i].width_in_blocks;
+      info.down_h[i] = cinfo.comp_info[i].downsampled_height;
+      info.down_w[i] = cinfo.comp_info[i].downsampled_width;
+    }
+    extract_component(cinfo, arrays, 0, ybuf.data(), yh, yw);
+    extract_quant(cinfo, 0, quant);
+    if (cinfo.num_components > 1) {
+      const size_t plane = static_cast<size_t>(chh) * cww * kDct2;
+      extract_component(cinfo, arrays, 1, cbuf.data(), chh, cww);
+      extract_component(cinfo, arrays, 2, cbuf.data() + plane, chh, cww);
+      extract_quant(cinfo, 1, quant + kDct2);
+      extract_quant(cinfo, 2, quant + 2 * kDct2);
+    } else {
+      for (int i = kDct2; i < 3 * kDct2; ++i) quant[i] = 1;
+    }
+    jpeg_finish_decompress(&cinfo);
+  }
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  Py_END_ALLOW_THREADS;
+
+  if (!ok) {
+    PyErr_Format(PyExc_RuntimeError, "libjpeg: %s (%s)", msg.c_str(), path);
+    return nullptr;
+  }
+
+  const int nc = info.num_components;
+  std::vector<int32_t> dims(static_cast<size_t>(nc) * 2);
+  for (int i = 0; i < nc; ++i) {
+    dims[i * 2] = info.down_h[i];
+    dims[i * 2 + 1] = info.down_w[i];
+  }
+
+  PyObject* dims_b = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(dims.data()), dims.size() * sizeof(int32_t));
+  PyObject* quant_b = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(quant), sizeof(quant));
+  PyObject* y_b = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(ybuf.data()), ybuf.size() * sizeof(int16_t));
+  PyObject* ret;
+  if (nc > 1) {
+    PyObject* c_b = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(cbuf.data()), cbuf.size() * sizeof(int16_t));
+    ret = Py_BuildValue("i N N (i i N) (i i N)", nc, dims_b, quant_b,
+                        info.height_in_blocks[0], info.width_in_blocks[0], y_b,
+                        info.height_in_blocks[1], info.width_in_blocks[1], c_b);
+  } else {
+    ret = Py_BuildValue("i N N (i i N) O", nc, dims_b, quant_b,
+                        info.height_in_blocks[0], info.width_in_blocks[0], y_b,
+                        Py_None);
+  }
+  return ret;
+}
+
+// --- read_into_canvas(path, y_buf, yc_h, yc_w, c_buf, cc_h, cc_w, quant_buf)
+// Hot path: decode straight into preallocated canvases (int16, C-contig).
+// Zero-fills the canvases first.  Returns (ncomp, yh, yw, ch, cw, img_h, img_w).
+PyObject* py_read_into_canvas(PyObject*, PyObject* args) {
+  const char* path;
+  Py_buffer yb, cb, qb;
+  int yc_h, yc_w, cc_h, cc_w;
+  if (!PyArg_ParseTuple(args, "sw*iiw*iiw*", &path, &yb, &yc_h, &yc_w, &cb,
+                        &cc_h, &cc_w, &qb))
+    return nullptr;
+
+  const size_t need_y = static_cast<size_t>(yc_h) * yc_w * kDct2 * sizeof(int16_t);
+  const size_t need_c = 2 * static_cast<size_t>(cc_h) * cc_w * kDct2 * sizeof(int16_t);
+  if (static_cast<size_t>(yb.len) < need_y || static_cast<size_t>(cb.len) < need_c ||
+      static_cast<size_t>(qb.len) < 3 * kDct2 * sizeof(int16_t)) {
+    PyBuffer_Release(&yb);
+    PyBuffer_Release(&cb);
+    PyBuffer_Release(&qb);
+    PyErr_SetString(PyExc_ValueError, "canvas buffers too small");
+    return nullptr;
+  }
+
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    PyBuffer_Release(&yb);
+    PyBuffer_Release(&cb);
+    PyBuffer_Release(&qb);
+    PyErr_Format(PyExc_FileNotFoundError, "Unable to open file for reading: %s", path);
+    return nullptr;
+  }
+
+  jpeg_decompress_struct cinfo{};
+  ErrorMgr err{};
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = error_exit;
+
+  bool ok = true;
+  std::string msg;
+  CoeffInfo info;
+  int16_t* ydat = static_cast<int16_t*>(yb.buf);
+  int16_t* cdat = static_cast<int16_t*>(cb.buf);
+  int16_t* qdat = static_cast<int16_t*>(qb.buf);
+
+  Py_BEGIN_ALLOW_THREADS;
+  std::memset(ydat, 0, need_y);
+  std::memset(cdat, 0, need_c);
+  if (setjmp(err.jump)) {
+    ok = false;
+    msg = err.message;
+  } else {
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    decode_coefficients(cinfo, &info, ydat, yc_h, yc_w, cdat, cc_h, cc_w, qdat);
+  }
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  Py_END_ALLOW_THREADS;
+
+  PyBuffer_Release(&yb);
+  PyBuffer_Release(&cb);
+  PyBuffer_Release(&qb);
+
+  if (!ok) {
+    PyErr_Format(PyExc_RuntimeError, "libjpeg: %s (%s)", msg.c_str(), path);
+    return nullptr;
+  }
+  return Py_BuildValue("iiiiiii", info.num_components, info.height_in_blocks[0],
+                       info.width_in_blocks[0], info.height_in_blocks[1],
+                       info.width_in_blocks[1], info.down_h[0], info.down_w[0]);
+}
+
+// --- write_coefficients(path, img_h, img_w, quant_buf, y_buf, y_hb, y_wb,
+//                        c_buf|None, c_hb, c_wb) ------------------------------
+PyObject* py_write_coefficients(PyObject*, PyObject* args) {
+  const char* path;
+  int img_h, img_w, y_hb, y_wb, c_hb, c_wb;
+  Py_buffer qb, yb;
+  PyObject* cobj;
+  if (!PyArg_ParseTuple(args, "siiy*y*iiOii", &path, &img_h, &img_w, &qb, &yb,
+                        &y_hb, &y_wb, &cobj, &c_hb, &c_wb))
+    return nullptr;
+
+  Py_buffer cb{};
+  bool color = cobj != Py_None;
+  if (color && PyObject_GetBuffer(cobj, &cb, PyBUF_SIMPLE) != 0) {
+    PyBuffer_Release(&qb);
+    PyBuffer_Release(&yb);
+    return nullptr;
+  }
+
+  std::string msg;
+  bool ok;
+  Py_BEGIN_ALLOW_THREADS;
+  ok = compress_coefficients(path, nullptr, nullptr, img_h, img_w, color,
+                             static_cast<const int16_t*>(qb.buf), -1,
+                             static_cast<const int16_t*>(yb.buf),
+                             color ? static_cast<const int16_t*>(cb.buf) : nullptr,
+                             c_hb, c_wb, &msg);
+  Py_END_ALLOW_THREADS;
+
+  PyBuffer_Release(&qb);
+  PyBuffer_Release(&yb);
+  if (color) PyBuffer_Release(&cb);
+  if (!ok) {
+    PyErr_Format(PyExc_RuntimeError, "libjpeg: %s", msg.c_str());
+    return nullptr;
+  }
+  Py_RETURN_NONE;
+}
+
+// --- quantize_at_quality(pixels_buf, c, h, w, quality) ----------------------
+// Compress CHW uint8 pixels to an in-memory JPEG at `quality`, then read its
+// coefficients back.  Returns the same tuple as read_coefficients.
+PyObject* py_quantize_at_quality(PyObject*, PyObject* args) {
+  Py_buffer pb;
+  int c, h, w, quality;
+  if (!PyArg_ParseTuple(args, "y*iiii", &pb, &c, &h, &w, &quality)) return nullptr;
+  if (static_cast<size_t>(pb.len) < static_cast<size_t>(c) * h * w) {
+    PyBuffer_Release(&pb);
+    PyErr_SetString(PyExc_ValueError, "pixel buffer too small");
+    return nullptr;
+  }
+
+  unsigned char* membuf = nullptr;
+  unsigned long memsize = 0;
+  std::string msg;
+  bool ok = true;
+
+  std::vector<int16_t> ybuf, cbuf;
+  int16_t quant[3 * kDct2];
+  CoeffInfo info;
+
+  Py_BEGIN_ALLOW_THREADS;
+  {
+    // encode
+    jpeg_compress_struct cinfo{};
+    ErrorMgr err{};
+    cinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = error_exit;
+    if (setjmp(err.jump)) {
+      ok = false;
+      msg = err.message;
+      jpeg_destroy_compress(&cinfo);
+    } else {
+      jpeg_create_compress(&cinfo);
+      jpeg_mem_dest(&cinfo, &membuf, &memsize);
+      cinfo.image_width = w;
+      cinfo.image_height = h;
+      cinfo.input_components = c;
+      cinfo.in_color_space = c > 1 ? JCS_RGB : JCS_GRAYSCALE;
+      jpeg_set_defaults(&cinfo);
+      jpeg_set_quality(&cinfo, quality, TRUE);
+      std::vector<uint8_t> inter =
+          interleave_chw(static_cast<const uint8_t*>(pb.buf), c, h, w);
+      jpeg_start_compress(&cinfo, TRUE);
+      size_t stride = static_cast<size_t>(c) * w;
+      while (cinfo.next_scanline < cinfo.image_height) {
+        JSAMPROW row = inter.data() + cinfo.next_scanline * stride;
+        jpeg_write_scanlines(&cinfo, &row, 1);
+      }
+      jpeg_finish_compress(&cinfo);
+      jpeg_destroy_compress(&cinfo);
+    }
+    // decode coefficients from memory
+    if (ok) {
+      jpeg_decompress_struct dinfo{};
+      ErrorMgr derr{};
+      dinfo.err = jpeg_std_error(&derr.pub);
+      derr.pub.error_exit = error_exit;
+      if (setjmp(derr.jump)) {
+        ok = false;
+        msg = derr.message;
+      } else {
+        jpeg_create_decompress(&dinfo);
+        jpeg_mem_src(&dinfo, membuf, memsize);
+        jpeg_read_header(&dinfo, TRUE);
+        int yh = dinfo.comp_info[0].height_in_blocks;
+        int yw = dinfo.comp_info[0].width_in_blocks;
+        ybuf.resize(static_cast<size_t>(yh) * yw * kDct2);
+        int chh = 0, cww = 0;
+        if (dinfo.num_components > 1) {
+          chh = dinfo.comp_info[1].height_in_blocks;
+          cww = dinfo.comp_info[1].width_in_blocks;
+          cbuf.resize(2 * static_cast<size_t>(chh) * cww * kDct2);
+        }
+        decode_coefficients(dinfo, &info, ybuf.data(), yh, yw, cbuf.data(), chh,
+                            cww, quant);
+      }
+      jpeg_destroy_decompress(&dinfo);
+    }
+    if (membuf) free(membuf);
+  }
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&pb);
+
+  if (!ok) {
+    PyErr_Format(PyExc_RuntimeError, "libjpeg: %s", msg.c_str());
+    return nullptr;
+  }
+
+  const int nc = info.num_components;
+  std::vector<int32_t> dims(static_cast<size_t>(nc) * 2);
+  for (int i = 0; i < nc; ++i) {
+    dims[i * 2] = info.down_h[i];
+    dims[i * 2 + 1] = info.down_w[i];
+  }
+  PyObject* dims_b = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(dims.data()), dims.size() * sizeof(int32_t));
+  PyObject* quant_b =
+      PyBytes_FromStringAndSize(reinterpret_cast<const char*>(quant), sizeof(quant));
+  PyObject* y_b = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(ybuf.data()), ybuf.size() * sizeof(int16_t));
+  if (nc > 1) {
+    PyObject* c_b = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(cbuf.data()), cbuf.size() * sizeof(int16_t));
+    return Py_BuildValue("i N N (i i N) (i i N)", nc, dims_b, quant_b,
+                         info.height_in_blocks[0], info.width_in_blocks[0], y_b,
+                         info.height_in_blocks[1], info.width_in_blocks[1], c_b);
+  }
+  return Py_BuildValue("i N N (i i N) O", nc, dims_b, quant_b,
+                       info.height_in_blocks[0], info.width_in_blocks[0], y_b,
+                       Py_None);
+}
+
+// --- write_tensor(path, pixels_buf, c, h, w, quant_buf|None, quality) -------
+PyObject* py_write_tensor(PyObject*, PyObject* args) {
+  const char* path;
+  Py_buffer pb;
+  int c, h, w, quality;
+  PyObject* qobj;
+  if (!PyArg_ParseTuple(args, "sy*iiiOi", &path, &pb, &c, &h, &w, &qobj, &quality))
+    return nullptr;
+  Py_buffer qb{};
+  bool have_quant = qobj != Py_None;
+  if (have_quant && PyObject_GetBuffer(qobj, &qb, PyBUF_SIMPLE) != 0) {
+    PyBuffer_Release(&pb);
+    return nullptr;
+  }
+
+  bool ok = true;
+  std::string msg;
+  Py_BEGIN_ALLOW_THREADS;
+  {
+    jpeg_compress_struct cinfo{};
+    ErrorMgr err{};
+    cinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = error_exit;
+    FILE* f = fopen(path, "wb");
+    if (!f) {
+      ok = false;
+      msg = std::string("Unable to open file for writing: ") + path;
+    } else if (setjmp(err.jump)) {
+      ok = false;
+      msg = err.message;
+      jpeg_destroy_compress(&cinfo);
+      fclose(f);
+    } else {
+      jpeg_create_compress(&cinfo);
+      jpeg_stdio_dest(&cinfo, f);
+      cinfo.image_height = h;
+      cinfo.image_width = w;
+      cinfo.input_components = c;
+      cinfo.in_color_space = (c == 3) ? JCS_RGB : JCS_GRAYSCALE;
+      fill_extended_defaults(&cinfo);
+      jpeg_set_quality(&cinfo, quality, TRUE);
+      if (have_quant) set_quant_tables(&cinfo, static_cast<const int16_t*>(qb.buf), c);
+      jpeg_start_compress(&cinfo, TRUE);
+      std::vector<uint8_t> inter =
+          interleave_chw(static_cast<const uint8_t*>(pb.buf), c, h, w);
+      size_t stride = static_cast<size_t>(c) * w;
+      while (cinfo.next_scanline < cinfo.image_height) {
+        JSAMPROW row = inter.data() + cinfo.next_scanline * stride;
+        jpeg_write_scanlines(&cinfo, &row, 1);
+      }
+      jpeg_finish_compress(&cinfo);
+      jpeg_destroy_compress(&cinfo);
+      fclose(f);
+    }
+  }
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&pb);
+  if (have_quant) PyBuffer_Release(&qb);
+  if (!ok) {
+    PyErr_Format(PyExc_RuntimeError, "libjpeg: %s", msg.c_str());
+    return nullptr;
+  }
+  Py_RETURN_NONE;
+}
+
+// --- read_jpeg(path) -> (c, h, w, bytes) ------------------------------------
+PyObject* py_read_jpeg(PyObject*, PyObject* args) {
+  const char* path;
+  if (!PyArg_ParseTuple(args, "s", &path)) return nullptr;
+  std::vector<uint8_t> out;
+  int c, h, w;
+  std::string msg;
+  bool ok;
+  Py_BEGIN_ALLOW_THREADS;
+  ok = decompress_pixels(path, nullptr, 0, &out, &c, &h, &w, &msg);
+  Py_END_ALLOW_THREADS;
+  if (!ok) {
+    PyErr_Format(PyExc_RuntimeError, "libjpeg: %s", msg.c_str());
+    return nullptr;
+  }
+  PyObject* b = PyBytes_FromStringAndSize(reinterpret_cast<const char*>(out.data()),
+                                          out.size());
+  return Py_BuildValue("iiiN", c, h, w, b);
+}
+
+// --- decode_coeff(img_h, img_w, quant_buf, quality, y_buf, y_hb, y_wb,
+//                  c_buf|None, c_hb, c_wb) -> (c, h, w, bytes) ---------------
+PyObject* py_decode_coeff(PyObject*, PyObject* args) {
+  int img_h, img_w, quality, y_hb, y_wb, c_hb, c_wb;
+  Py_buffer qb, yb;
+  PyObject* cobj;
+  if (!PyArg_ParseTuple(args, "iiy*iy*iiOii", &img_h, &img_w, &qb, &quality, &yb,
+                        &y_hb, &y_wb, &cobj, &c_hb, &c_wb))
+    return nullptr;
+  Py_buffer cb{};
+  bool color = cobj != Py_None;
+  if (color && PyObject_GetBuffer(cobj, &cb, PyBUF_SIMPLE) != 0) {
+    PyBuffer_Release(&qb);
+    PyBuffer_Release(&yb);
+    return nullptr;
+  }
+
+  unsigned char* membuf = nullptr;
+  unsigned long memsize = 0;
+  std::vector<uint8_t> out;
+  int c = 0, h = 0, w = 0;
+  std::string msg;
+  bool ok;
+  Py_BEGIN_ALLOW_THREADS;
+  ok = compress_coefficients(nullptr, &membuf, &memsize, img_h, img_w, color,
+                             static_cast<const int16_t*>(qb.buf), quality,
+                             static_cast<const int16_t*>(yb.buf),
+                             color ? static_cast<const int16_t*>(cb.buf) : nullptr,
+                             c_hb, c_wb, &msg);
+  if (ok) ok = decompress_pixels(nullptr, membuf, memsize, &out, &c, &h, &w, &msg);
+  if (membuf) free(membuf);
+  Py_END_ALLOW_THREADS;
+
+  PyBuffer_Release(&qb);
+  PyBuffer_Release(&yb);
+  if (color) PyBuffer_Release(&cb);
+  if (!ok) {
+    PyErr_Format(PyExc_RuntimeError, "libjpeg: %s", msg.c_str());
+    return nullptr;
+  }
+  PyObject* b = PyBytes_FromStringAndSize(reinterpret_cast<const char*>(out.data()),
+                                          out.size());
+  return Py_BuildValue("iiiN", c, h, w, b);
+}
+
+PyMethodDef methods[] = {
+    {"read_coefficients", py_read_coefficients, METH_VARARGS,
+     "Entropy-decode DCT coefficients from a JPEG file."},
+    {"read_into_canvas", py_read_into_canvas, METH_VARARGS,
+     "Entropy-decode DCT coefficients into preallocated int16 canvases."},
+    {"write_coefficients", py_write_coefficients, METH_VARARGS,
+     "Write DCT coefficients to a JPEG file."},
+    {"quantize_at_quality", py_quantize_at_quality, METH_VARARGS,
+     "Encode CHW uint8 pixels at a quality and return their coefficients."},
+    {"write_tensor", py_write_tensor, METH_VARARGS,
+     "Encode CHW uint8 pixels to a JPEG file."},
+    {"read_jpeg", py_read_jpeg, METH_VARARGS, "Full decode of a JPEG to CHW uint8."},
+    {"decode_coeff", py_decode_coeff, METH_VARARGS,
+     "Decode DCT coefficients to CHW uint8 pixels."},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef module = {PyModuleDef_HEAD_INIT, "_dctcodec",
+                      "libjpeg DCT coefficient codec", -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__dctcodec(void) { return PyModule_Create(&module); }
