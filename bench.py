@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Headline benchmark: JPEG ViT-Ti DCT training throughput per chip.
+
+Measures the full training pipeline — host JPEG entropy decode -> on-device
+dequant + DCT augmentation -> ViT-Ti fwd+bwd + optimizer — on synthetic
+512x512 JPEGs, matching the BASELINE.json north-star metric
+("ImageNet train/eval imgs/sec/chip (decode -> augment -> ViT)").
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` divides by REFERENCE_GPU_FPS, a stand-in for the reference's
+(unpublished) per-GPU training throughput for JPEG ViT-Ti; the repo defines
+the metric but prints no numbers (see BASELINE.md).  1000 img/s/GPU is a
+deliberately generous estimate for the reference's full pipeline on its
+PyTorch 1.12/CUDA 11.3 setup; >= 2.0 here means the north star is met.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REFERENCE_GPU_FPS = 1000.0
+BATCH = 256
+N_IMAGES = 2 * BATCH  # must exceed one global batch (drop_last loader)
+MEASURE_ITERS = 40
+
+
+def make_synthetic_dataset(root: Path, n: int) -> Path:
+    """Write n synthetic 512x512 JPEGs + an index CSV; reused across runs."""
+    import numpy as np
+
+    from rgbnomore_tpu import codec
+
+    root.mkdir(parents=True, exist_ok=True)
+    index = root / "index.csv"
+    if index.exists() and len(list(root.glob("*.jpg"))) >= n:
+        return index
+    rng = np.random.default_rng(0)
+    ys, xs = np.mgrid[0:512, 0:512]
+    rows = ["Filepath,Label"]
+    for i in range(n):
+        f = 0.02 + 0.03 * rng.random(2)
+        img = np.stack(
+            [
+                (128 + 100 * np.sin(ys * f[0] + p) * np.cos(xs * f[1])).astype(np.uint8)
+                for p in (0.0, 1.0, 2.0)
+            ]
+        )
+        p = root / f"img_{i}.jpg"
+        codec.write_tensor(p, img, quality=90)
+        rows.append(f"{p},{i % 1000}")
+    index.write_text("\n".join(rows) + "\n")
+    return index
+
+
+def main() -> None:
+    import jax
+
+    from rgbnomore_tpu.data.index import load_index
+    from rgbnomore_tpu.data.loader import DctCanvasLoader
+    from rgbnomore_tpu.train.config import generate_config, update_runtime
+    from rgbnomore_tpu.train.loop import Trainer
+
+    index = make_synthetic_dataset(Path("/tmp/rgbnomore_bench"), N_IMAGES)
+
+    cfg = generate_config("vitti", "dct", modelver=1, batchsize=BATCH)
+    cfg = update_runtime(cfg, jax.device_count())
+    trainer = Trainer(cfg)
+    ds = load_index(index)
+    loader = DctCanvasLoader(
+        ds, trainer.global_batch(), canvas=64, shuffle=True, drop_last=True,
+        seed=0, num_threads=8, prefetch=4,
+    )
+    if len(loader) == 0:
+        raise RuntimeError("benchmark loader produced zero batches")
+    trainer.create_state(steps_per_epoch=len(loader))
+    step = trainer._fused_train_step()
+    rng = jax.random.PRNGKey(0)
+
+    # warm up: one full epoch pass compiles and fills caches
+    def run_iters(n_iters: int) -> tuple[int, float]:
+        n_img = 0
+        done = 0
+        t0 = time.perf_counter()
+        while done < n_iters:
+            loader.set_epoch(done)
+            for batch in loader:
+                trainer.state, metrics = step(trainer.state, trainer.put_batch(batch), rng)
+                n_img += batch["y"].shape[0]
+                done += 1
+                if done >= n_iters:
+                    break
+        jax.block_until_ready(trainer.state.params)
+        return n_img, time.perf_counter() - t0
+
+    run_iters(3)  # compile + cache warmup, excluded
+    n_img, dt = run_iters(MEASURE_ITERS)
+
+    # component: device-only step rate (batch resident), isolates host/transfer
+    batch0 = next(iter(loader))
+    dev = trainer.put_batch(batch0)
+    trainer.state, _ = step(trainer.state, dev, rng)
+    jax.block_until_ready(trainer.state.params)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        trainer.state, _ = step(trainer.state, dev, rng)
+    jax.block_until_ready(trainer.state.params)
+    device_fps = 20 * batch0["y"].shape[0] / (time.perf_counter() - t0)
+
+    n_chips = jax.device_count()
+    fps_per_chip = n_img / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "jpeg_vitti_train_pipeline_imgs_per_sec_per_chip",
+                "value": round(fps_per_chip, 1),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(fps_per_chip / REFERENCE_GPU_FPS, 3),
+                "device_step_imgs_per_sec": round(device_fps / n_chips, 1),
+                "n_chips": n_chips,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 - always emit the JSON line
+        print(
+            json.dumps(
+                {
+                    "metric": "jpeg_vitti_train_pipeline_imgs_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "imgs/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": str(exc)[:200],
+                }
+            )
+        )
+        sys.exit(1)

@@ -1,0 +1,128 @@
+"""End-to-end on-device input pipelines: dequantize -> crop/resize ->
+flip -> RandAugment -> normalize, all inside one jitted function.
+
+This is the TPU-first replacement for the reference's per-sample CPU
+transform chains (``datasets.py:305-390``): the host ships raw quantized
+int16 canvases (half the bandwidth of f32) and everything else runs batched
+on-device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from rgbnomore_tpu.augment.crops import (
+    make_center_crop_resize,
+    make_full_resize,
+    make_random_resized_crop,
+)
+from rgbnomore_tpu.augment.randaugment import RandAugmentDCT
+from rgbnomore_tpu.ops import blocks
+from rgbnomore_tpu.ops.photometric import DCT_MAX, DCT_MIN
+
+__all__ = ["dequantize", "to_range", "make_train_pipeline", "make_eval_pipeline"]
+
+
+def dequantize(y_q: jax.Array, c_q: jax.Array, quant: jax.Array):
+    """Dequantize int16 coefficient canvases with per-sample quant tables.
+
+    ``y_q`` (B, 1, H, W, 8, 8) int16, ``c_q`` (B, 2, H/2, W/2, 8, 8) int16,
+    ``quant`` (B, 3, 8, 8) int16.  Multiplies and clamps to [-1024, 1016] as
+    the reference loader does (``datasets.py:286-297``).
+    """
+    qy = quant[:, 0:1, None, None].astype(jnp.float32)
+    qc = quant[:, 1:3, None, None].astype(jnp.float32)
+    y = jnp.clip(y_q.astype(jnp.float32) * qy, DCT_MIN, DCT_MAX)
+    c = jnp.clip(c_q.astype(jnp.float32) * qc, DCT_MIN, DCT_MAX)
+    return y, c
+
+
+def to_range(
+    x: jax.Array,
+    val_min: float = -1.0,
+    val_max: float = 1.0,
+    orig_min: float = DCT_MIN,
+    orig_max: float = DCT_MAX,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Affine rescale (``custom_transforms.py:406-466``)."""
+    x = (x.astype(jnp.float32) - orig_min) / (orig_max - orig_min)
+    return (val_min + x * (val_max - val_min)).astype(dtype)
+
+
+def random_flip(rng: jax.Array, y: jax.Array, c: jax.Array, p: float = 0.5):
+    """Per-sample horizontal flip (``custom_transforms.py:913-942``)."""
+    flip = jax.random.bernoulli(rng, p, (y.shape[0],))
+    fy = blocks.flip_dct(y, "horizontal")
+    fc = blocks.flip_dct(c, "horizontal")
+    sel = flip.reshape(-1, 1, 1, 1, 1, 1)
+    return jnp.where(sel, fy, y), jnp.where(sel, fc, c)
+
+
+def make_train_pipeline(
+    cfg=None,
+    *,
+    target: int = 28,
+    canvas: int = 64,
+    auglist: list[str] | None = None,
+    num_ops: int = 2,
+    magnitude: int = 3,
+    out_dtype=jnp.float32,
+) -> Callable:
+    """Build the jitted train input pipeline ``fn(rng, y_q, c_q, quant)``.
+
+    Matches the ``imagenet_dct`` train chain (``datasets.py:354-361``):
+    RandomResizedCrop(target, scale .05-1, ratio 1:1) -> HFlip ->
+    RandAugment(num_ops, magnitude) -> ToRange(-1, 1).
+    """
+    if cfg is not None:
+        target = cfg.model.dct_blocks
+        auglist = list(cfg.train.auglist)
+        num_ops = cfg.train.num_ops
+        magnitude = cfg.train.augstr
+    rrc = make_random_resized_crop(target, canvas)
+    aug = RandAugmentDCT(
+        ops_list=list(auglist or []), num_ops=num_ops, magnitude=magnitude, grid=target
+    )
+
+    def pipeline(rng, y_q, c_q, quant):
+        k_crop, k_flip, k_aug = jax.random.split(rng, 3)
+        y, c = dequantize(y_q, c_q, quant)
+        y, c = rrc(k_crop, y, c)
+        y, c = random_flip(k_flip, y, c)
+        y, c = aug(k_aug, y, c)
+        return to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype)
+
+    return pipeline
+
+
+def make_eval_pipeline(
+    cfg=None,
+    *,
+    target: int = 28,
+    canvas: int = 64,
+    swin: bool = False,
+    out_dtype=jnp.float32,
+) -> Callable:
+    """Build the jitted eval pipeline ``fn(y_q, c_q, quant)``.
+
+    ViT: ResizedCenterCrop(32 -> 28) (``datasets.py:364``); Swin: full resize
+    to 32 (``datasets.py:381``).  Then ToRange(-1, 1).
+    """
+    if cfg is not None:
+        target = cfg.model.dct_blocks
+        swin = cfg.model.arch == "swinv2"
+    if swin:
+        crop = make_full_resize(target, canvas)
+    else:
+        crop = make_center_crop_resize(target + 4, target, canvas)
+
+    def pipeline(y_q, c_q, quant):
+        y, c = dequantize(y_q, c_q, quant)
+        y, c = crop(y, c)
+        return to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype)
+
+    return pipeline

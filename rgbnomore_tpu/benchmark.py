@@ -1,0 +1,170 @@
+"""Benchmark harness: the six throughput metrics of the reference.
+
+Mirrors ``benchmark.py`` + ``eval.py:53-181`` of the reference:
+  1/2. train / test dataloader FPS (host decode only)
+  3/4. model fwd+bwd / fwd-only FPS on synthetic tensors
+  5/6. train / test full-pipeline FPS (loader + device step)
+
+Measurement semantics replicated: first-batch (compile/init) time excluded,
+model benchmarks run ``max(N, 300)`` iterations at the per-device batch size,
+FPS = total images / total seconds across all devices in this process.  The
+reference's ``dist.reduce`` aggregation is unnecessary — a single process
+sees the global numbers.  (The reference's benchmark also had a bug that
+clobbered the model object, ``eval.py:127``; not replicated.)
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+__all__ = [
+    "benchmark_dataloader",
+    "benchmark_model_synthetic",
+    "benchmark_pipeline",
+    "benchmark_model",
+]
+
+
+def _synthetic_dct_batch(cfg, batch: int, canvas: int = 64, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    return {
+        "y": rng.integers(-64, 64, (batch, 1, canvas, canvas, 8, 8)).astype(np.int16),
+        "cbcr": rng.integers(-64, 64, (batch, 2, canvas // 2, canvas // 2, 8, 8)).astype(np.int16),
+        "quant": np.broadcast_to(
+            np.linspace(1, 24, 64, dtype=np.int16).reshape(1, 1, 8, 8), (batch, 3, 8, 8)
+        ).copy(),
+        "labels": rng.integers(0, cfg.model.classes, (batch,)).astype(np.int32),
+        "weights": np.ones((batch,), np.float32),
+    }
+
+
+def benchmark_dataloader(loader, max_iters: int) -> tuple[int, float]:
+    """(images, seconds) excluding the first batch (``benchmark.py:10-57``)."""
+    n_img = 0
+    t0 = None
+    for i, batch in enumerate(loader):
+        if i == 0:
+            t0 = time.perf_counter()  # first batch excluded
+            continue
+        n_img += int(batch["weights"].sum())
+        if i >= max_iters:
+            break
+    return n_img, (time.perf_counter() - t0) if t0 else 0.0
+
+
+def benchmark_model_synthetic(cfg, iters: int, mode: str = "fbp") -> tuple[int, float]:
+    """fwd+bwd ('fbp') or fwd-only FPS on synthetic DCT tensors.
+
+    Shapes per the reference: Y (B,1,28,28,8,8), CbCr (B,2,14,14,8,8)
+    (``eval.py:114-121``), its own optimizer, >= 300 iterations.
+    """
+    from rgbnomore_tpu.train.config import build_model, update_runtime
+    from rgbnomore_tpu.train.optim import make_optimizer
+    from rgbnomore_tpu.train.steps import create_train_state, make_train_step
+
+    cfg = update_runtime(cfg, jax.device_count())
+    batch = cfg.train.batch_per_device * jax.device_count()
+    nb = cfg.model.dct_blocks
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((batch, 1, nb, nb, 8, 8)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((batch, 2, nb // 2, nb // 2, 8, 8)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, cfg.model.classes, batch).astype(np.int32))
+
+    model = build_model(cfg)
+    iters = max(iters, 300)
+
+    if mode == "fbp":
+        tx, _ = make_optimizer(cfg.train.lr, cfg.train.wd, 100, iters)
+        state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), (y, c))
+        step = make_train_step(model, cfg.model.classes, use_mixup=False)
+        base = jax.random.PRNGKey(1)
+        state, _ = step(state, ((y, c), labels), base)  # compile, excluded
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, ((y, c), labels), base)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+    else:
+        params = model.init(jax.random.PRNGKey(0), y, c)
+        fwd = jax.jit(lambda p, a, b: model.apply(p, a, b))
+        out = fwd(params, y, c)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(params, y, c)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+    return batch * iters, dt
+
+
+def benchmark_pipeline(trainer, loader, iters: int, mode: str = "train") -> tuple[int, float]:
+    """Full loader + device-pipeline + step throughput (``benchmark.py:290-364``)."""
+    n_img = 0
+    t0 = None
+    if mode == "train":
+        step = trainer._fused_train_step()
+        rng = jax.random.PRNGKey(0)
+        for i, batch in enumerate(loader):
+            trainer.state, metrics = step(trainer.state, trainer.put_batch(batch), rng)
+            if i == 0:
+                jax.block_until_ready(trainer.state.params)
+                t0 = time.perf_counter()
+                continue
+            n_img += int(batch["weights"].sum())
+            if i >= iters:
+                break
+        jax.block_until_ready(trainer.state.params)
+    else:
+        step = trainer._fused_eval_step()
+        for i, batch in enumerate(loader):
+            out = step(trainer.state.params, trainer.put_batch(batch))
+            if i == 0:
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                continue
+            n_img += int(batch["weights"].sum())
+            if i >= iters:
+                break
+        jax.block_until_ready(out)
+    return n_img, (time.perf_counter() - t0) if t0 else 0.0
+
+
+def benchmark_model(cfg, iters: int, index_train: str, index_val: str,
+                    num_threads: int = 4, verbose: int = 1) -> dict[str, float]:
+    """Run all six measurements and log FPS (``eval.py:53-181``)."""
+    from rgbnomore_tpu.train.loop import Trainer, make_loaders
+
+    trainer = Trainer(cfg)
+    loaders = make_loaders(cfg, index_train, index_val, num_threads=num_threads,
+                           global_batch=trainer.global_batch())
+    trainer.create_state(max(1, len(loaders["train"])))
+
+    results: dict[str, float] = {}
+
+    n, dt = benchmark_dataloader(loaders["train"], iters)
+    results["train_loader_fps"] = n / dt if dt else 0.0
+    n, dt = benchmark_dataloader(loaders["test"], iters)
+    results["test_loader_fps"] = n / dt if dt else 0.0
+
+    n, dt = benchmark_model_synthetic(cfg, iters, "fbp")
+    results["model_fbp_fps"] = n / dt
+    n, dt = benchmark_model_synthetic(cfg, iters, "fwd")
+    results["model_fwd_fps"] = n / dt
+
+    n, dt = benchmark_pipeline(trainer, loaders["train"], iters, "train")
+    results["train_pipeline_fps"] = n / dt if dt else 0.0
+    n, dt = benchmark_pipeline(trainer, loaders["test"], iters, "test")
+    results["test_pipeline_fps"] = n / dt if dt else 0.0
+
+    n_dev = jax.device_count()
+    for k, v in results.items():
+        log.info("%s: %.1f img/s total (%.1f per device)", k, v, v / n_dev)
+    return results

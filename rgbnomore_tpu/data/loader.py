@@ -1,0 +1,177 @@
+"""Threaded canvas loaders: JPEG entropy decode -> fixed-size int16 batches.
+
+The host's only job in the hot path is the sequential libjpeg Huffman decode
+(``codec.read_into_canvas``, which releases the GIL) plus batch assembly;
+dequantization and all augmentation run on-device.  A thread pool decodes
+directly into per-batch canvas arrays and a background thread keeps a small
+queue of ready batches ahead of the training loop.
+
+Batch layout (all numpy, ready for ``device_put``):
+    y      (B, 1, CANVAS, CANVAS, 8, 8) int16   quantized Y coefficients
+    cbcr   (B, 2, CANVAS/2, CANVAS/2, 8, 8) int16
+    quant  (B, 3, 8, 8) int16                    per-sample quant tables
+    labels (B,) int32
+    weights(B,) float32                          0 for padding examples
+
+Sharding across hosts: each loader takes ``(shard_id, num_shards)`` and reads
+only its strided slice — train shards rebalance per epoch with the shuffle;
+eval uses the same strided rank slicing as the reference's no-padding
+``DistributedEvalSampler`` (``utils/custom_sampler.py:53-104``), with padding
+expressed as zero weights instead of dropped examples.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from rgbnomore_tpu import codec
+from rgbnomore_tpu.data.index import IndexDataset
+
+__all__ = ["DctCanvasLoader", "RgbCanvasLoader"]
+
+
+class _BaseLoader:
+    def __init__(
+        self,
+        dataset: IndexDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        num_threads: int = 4,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle per epoch (reference: ``sampler.set_epoch``)."""
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = rng.permutation(n)
+            # pad to equal shards like DistributedSampler (datasets.py:533-535)
+            pad = (-len(order)) % self.num_shards
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+            return order[self.shard_id :: self.num_shards]
+        # eval: strided rank slicing without padding (custom_sampler.py:88)
+        return np.arange(n)[self.shard_id :: self.num_shards]
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _decode_batch(self, pool: ThreadPoolExecutor, idx: np.ndarray) -> dict:
+        raise NotImplementedError
+
+    def __iter__(self):
+        indices = self._epoch_indices()
+        nb = len(self)
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    lo = b * self.batch_size
+                    batch_idx = indices[lo : lo + self.batch_size]
+                    try:
+                        out_q.put(self._decode_batch(pool, batch_idx))
+                    except Exception as exc:  # surface decode errors to consumer
+                        out_q.put(exc)
+                        return
+            out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+class DctCanvasLoader(_BaseLoader):
+    """Loads quantized DCT coefficient canvases (the JPEG/DCT domain path)."""
+
+    def __init__(self, dataset: IndexDataset, batch_size: int, canvas: int = 64, **kw):
+        super().__init__(dataset, batch_size, **kw)
+        self.canvas = canvas
+
+    def _decode_batch(self, pool: ThreadPoolExecutor, idx: np.ndarray) -> dict:
+        bsz = self.batch_size
+        cv = self.canvas
+        y = np.zeros((bsz, 1, cv, cv, 8, 8), np.int16)
+        c = np.zeros((bsz, 2, cv // 2, cv // 2, 8, 8), np.int16)
+        quant = np.ones((bsz, 3, 8, 8), np.int16)
+        labels = np.zeros((bsz,), np.int32)
+        weights = np.zeros((bsz,), np.float32)
+
+        def work(slot: int, ds_index: int):
+            path = self.dataset.paths[ds_index]
+            codec.read_into_canvas(path, y[slot], c[slot], quant[slot])
+            labels[slot] = self.dataset.labels[ds_index]
+            weights[slot] = 1.0
+
+        list(pool.map(lambda args: work(*args), enumerate(idx)))
+        return {"y": y, "cbcr": c, "quant": quant, "labels": labels, "weights": weights}
+
+
+class RgbCanvasLoader(_BaseLoader):
+    """Loads fully-decoded RGB pixels into fixed uint8 canvases (RGB domain).
+
+    The reference decodes with PIL per worker (``datasets.py:286``); here the
+    C++ codec full-decodes and augmentation happens on-device.
+    """
+
+    def __init__(self, dataset: IndexDataset, batch_size: int, image_size: int = 512, **kw):
+        super().__init__(dataset, batch_size, **kw)
+        self.image_size = image_size
+
+    def _decode_batch(self, pool: ThreadPoolExecutor, idx: np.ndarray) -> dict:
+        bsz = self.batch_size
+        s = self.image_size
+        pixels = np.zeros((bsz, 3, s, s), np.uint8)
+        labels = np.zeros((bsz,), np.int32)
+        weights = np.zeros((bsz,), np.float32)
+
+        def work(slot: int, ds_index: int):
+            img = codec.read_jpeg(self.dataset.paths[ds_index])
+            ch, h, w = img.shape
+            if ch == 1:
+                img = np.broadcast_to(img, (3, h, w))
+            hh, ww = min(h, s), min(w, s)
+            pixels[slot, :, :hh, :ww] = img[:, :hh, :ww]
+            labels[slot] = self.dataset.labels[ds_index]
+            weights[slot] = 1.0
+
+        list(pool.map(lambda args: work(*args), enumerate(idx)))
+        return {"pixels": pixels, "labels": labels, "weights": weights}

@@ -1,0 +1,324 @@
+"""Training / evaluation orchestration: the TPU equivalent of the reference's
+``train.py:traineval`` (``train.py:66-234``).
+
+One process drives all local devices via a data mesh (no per-GPU process
+spawn); the per-step work — on-device augmentation, mixup, forward, backward,
+update — is a single jitted SPMD function.  The host loop only feeds int16
+coefficient canvases and logs metrics.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbnomore_tpu.augment.pipeline import make_eval_pipeline, make_train_pipeline
+from rgbnomore_tpu.data.index import load_index, split_train_minival
+from rgbnomore_tpu.data.loader import DctCanvasLoader
+from rgbnomore_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from rgbnomore_tpu.train import checkpoint as ckpt
+from rgbnomore_tpu.train.config import Config, build_model, example_inputs, update_runtime
+from rgbnomore_tpu.train.optim import make_optimizer
+from rgbnomore_tpu.train.steps import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    merge_eval_metrics,
+    mixup_batch,
+    softmax_cross_entropy,
+)
+from rgbnomore_tpu.utils.metrics import LocalWindow
+
+log = logging.getLogger(__name__)
+
+
+class SummaryWriter:
+    """TensorBoard writer with a no-op fallback when tensorboard is absent."""
+
+    def __init__(self, logdir: str | Path | None):
+        self._writer = None
+        if logdir is None:
+            return
+        try:
+            from torch.utils.tensorboard import SummaryWriter as TBWriter
+
+            self._writer = TBWriter(str(logdir))
+        except Exception:  # pragma: no cover - tensorboard optional
+            log.warning("tensorboard unavailable; metrics will only be logged")
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._writer is not None:
+            self._writer.add_scalar(tag, value, step)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
+def tensorboard_dir(savepath: str, cfg: Config) -> Path:
+    """Writer dir derived from savepath + lr/wd/drop (``pipeline_utils.py:411-425``)."""
+    stem = Path(savepath).stem
+    name = f"{stem}_lr{cfg.train.lr}_wd{cfg.train.wd}_drop{cfg.train.drop}"
+    return Path(savepath).resolve().parent / "tb_logs" / name
+
+
+class Trainer:
+    """Owns mesh, model, state and the jitted step functions for one config."""
+
+    def __init__(self, cfg: Config, devices=None, seed: int | None = None, canvas: int = 64):
+        if cfg.model.domain != "DCT":
+            # The RGB domain trains through the RGB device pipeline; see
+            # rgbnomore_tpu/augment/rgb.py once the RGB path is wired in.
+            raise NotImplementedError(
+                "Trainer currently supports the DCT domain; RGB lands with the "
+                "device-side RGB augmentation pipeline"
+            )
+        self.cfg = update_runtime(cfg, len(devices or jax.devices()))
+        self.mesh = make_mesh(devices)
+        self.n_devices = len(self.mesh.devices.ravel())
+        self.seed = cfg.seed if seed is None else seed
+        self.rng = jax.random.PRNGKey(self.seed)
+
+        self.model = build_model(cfg)
+        self.canvas = canvas
+        self.train_pipe = make_train_pipeline(cfg, canvas=canvas)
+        self.eval_pipe = make_eval_pipeline(cfg, canvas=canvas)
+        self._train_step_inner = None
+        self._eval_step_inner = make_eval_step(self.model)
+        self.state = None
+
+        self._bs = batch_sharding(self.mesh)
+        self._rs = replicated_sharding(self.mesh)
+
+    # ------------------------------------------------------------------ setup
+    def global_batch(self) -> int:
+        return self.cfg.train.batch_per_device * self.n_devices
+
+    def create_state(self, steps_per_epoch: int):
+        total_steps = steps_per_epoch * self.cfg.train.epochs
+        tx, self.schedule = make_optimizer(
+            self.cfg.train.lr, self.cfg.train.wd, self.cfg.train.warmup, total_steps
+        )
+        init_rng, self.rng = jax.random.split(self.rng)
+        state = create_train_state(
+            self.model, self.cfg, tx, init_rng, example_inputs(self.cfg, batch=2)
+        )
+        self.state = jax.device_put(state, self._rs)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+        log.info(
+            "model %s/%s: %.2fM params, %d devices, global batch %d, %d steps/epoch",
+            self.cfg.model.arch, self.cfg.model.domain, n_params / 1e6,
+            self.n_devices, self.global_batch(), steps_per_epoch,
+        )
+        return self.state
+
+    # ------------------------------------------------------------------ steps
+    def _fused_train_step(self):
+        """Augmentation + mixup + fwd/bwd/update in ONE jitted function."""
+        if self._train_step_inner is not None:
+            return self._train_step_inner
+        model = self.model
+        pipe = self.train_pipe
+        num_classes = self.cfg.model.classes
+        use_mixup = self.cfg.model.mixup
+        alpha = self.cfg.train.mixup_alpha
+
+        def step(state, batch, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            k_aug, k_mix, k_drop = jax.random.split(step_rng, 3)
+            y, c = pipe(k_aug, batch["y"], batch["cbcr"], batch["quant"])
+            if use_mixup:
+                (y, c), targets = mixup_batch(k_mix, (y, c), batch["labels"], num_classes, alpha)
+            else:
+                targets = jax.nn.one_hot(batch["labels"], num_classes, dtype=jnp.float32)
+
+            def loss_fn(params):
+                logits = model.apply(
+                    {"params": params}, y, c, train=True, rngs={"dropout": k_drop}
+                )
+                return softmax_cross_entropy(logits, targets)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=grads), {"loss": loss}
+
+        self._train_step_inner = jax.jit(step, donate_argnums=(0,))
+        return self._train_step_inner
+
+    def _fused_eval_step(self):
+        pipe = self.eval_pipe
+        model = self.model
+
+        def step(params, batch):
+            y, c = pipe(batch["y"], batch["cbcr"], batch["quant"])
+            logits = model.apply({"params": params}, y, c, train=False).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            labels = batch["labels"]
+            w = batch["weights"]
+            per_ex = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+            pred = jnp.argmax(logits, axis=-1)
+            return {
+                "correct": jnp.sum((pred == labels) * w),
+                "loss_sum": jnp.sum(per_ex * w),
+                "count": jnp.sum(w),
+            }
+
+        return jax.jit(step)
+
+    def put_batch(self, batch: dict) -> dict:
+        return {k: jax.device_put(v, self._bs) for k, v in batch.items()}
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, loader) -> dict:
+        eval_step = self._fused_eval_step()
+        sums = []
+        for batch in loader:
+            sums.append(eval_step(self.state.params, self.put_batch(batch)))
+        return merge_eval_metrics(sums)
+
+
+def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int = 64,
+                 num_threads: int = 4, global_batch: int | None = None):
+    """Build train / minival / trainval / test loaders (``datasets.py:445-582``)."""
+    train_all = load_index(index_train)
+    test_ds = load_index(index_val)
+    train_ds, minival_ds, trainval_ds = split_train_minival(
+        train_all, split=cfg.train.split, seed=cfg.seed
+    )
+    bsz = global_batch or cfg.train.batch_size
+    mk = lambda ds, shuffle, drop: DctCanvasLoader(
+        ds, bsz, canvas=canvas, shuffle=shuffle, drop_last=drop, seed=cfg.seed,
+        num_threads=num_threads,
+    )
+    return {
+        "train": mk(train_ds, True, True),
+        "minival": mk(minival_ds, False, False),
+        "trainval": mk(trainval_ds, False, False),
+        "test": mk(test_ds, False, False),
+    }
+
+
+def save_params(path: str | Path, params) -> None:
+    """Serialize final weights (the reference's bare ``state_dict`` save,
+    ``train.py:202-204``) as flax msgpack."""
+    from flax import serialization
+
+    Path(path).write_bytes(serialization.to_bytes(params))
+
+
+def load_params(path: str | Path, template):
+    from flax import serialization
+
+    return serialization.from_bytes(template, Path(path).read_bytes())
+
+
+def train_and_eval(
+    cfg: Config,
+    index_train: str,
+    index_val: str,
+    savepath: str = "./models/model.msgpack",
+    loadpath: str = "",
+    load_ckpt_dir: str = "",
+    run_train: bool = True,
+    run_eval: bool = True,
+    verbose: int = 1,
+    canvas: int = 64,
+    num_threads: int = 4,
+    max_steps_per_epoch: int | None = None,
+) -> dict:
+    """Main train/eval flow (reference ``train.py:traineval``).  Returns final
+    metrics."""
+    trainer = Trainer(cfg, canvas=canvas)
+    loaders = make_loaders(
+        cfg, index_train, index_val, canvas=canvas, num_threads=num_threads,
+        global_batch=trainer.global_batch(),
+    )
+    steps_per_epoch = len(loaders["train"])
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+    trainer.create_state(steps_per_epoch)
+
+    savepath = str(savepath)
+    Path(savepath).resolve().parent.mkdir(parents=True, exist_ok=True)
+    ckpt_dir = ckpt.checkpoint_dir(savepath, f"{cfg.model.arch}_{cfg.model.domain.lower()}")
+    writer = SummaryWriter(tensorboard_dir(savepath, cfg) if run_train else None)
+
+    start_epoch = 0
+    if load_ckpt_dir:
+        trainer.state, meta = ckpt.restore_checkpoint(load_ckpt_dir, trainer.state)
+        start_epoch = int(meta["epoch"]) + 1
+        log.info("resumed from %s at epoch %d (step %d)", load_ckpt_dir, start_epoch,
+                 int(trainer.state.step))
+
+    results: dict = {}
+    if run_train:
+        step_fn = trainer._fused_train_step()
+        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+        window = LocalWindow(100)
+        for epoch in range(start_epoch, cfg.train.epochs):
+            loaders["train"].set_epoch(epoch)
+            t0 = time.time()
+            n_img = 0
+            for i, batch in enumerate(loaders["train"]):
+                if max_steps_per_epoch and i >= max_steps_per_epoch:
+                    break
+                trainer.state, metrics = step_fn(trainer.state, trainer.put_batch(batch), base_rng)
+                n_img += int(batch["weights"].sum())
+                running = window.put(float(metrics["loss"]), returnval=True)
+                it = int(trainer.state.step)
+                if it % 50 == 0:
+                    writer.scalar("Loss/Peritr_Train", running, it)
+                if verbose >= 2:
+                    print(
+                        f"\r[Epoch {epoch + 1}/{cfg.train.epochs} It {i + 1}] "
+                        f"loss {running:.4f} lr {float(trainer.schedule(it)):.3e}",
+                        end="", flush=True,
+                    )
+            dt = time.time() - t0
+            val = trainer.evaluate(loaders["minival"])
+            tval = trainer.evaluate(loaders["trainval"])
+            if verbose >= 1:
+                log.info(
+                    "epoch %d: loss %.4f | val acc %.2f%% loss %.4f | trainval acc %.2f%% | %.1f img/s",
+                    epoch + 1, window.mean(), val["accuracy"] * 100, val["loss"],
+                    tval["accuracy"] * 100, n_img / max(dt, 1e-9),
+                )
+            writer.scalar("Loss/Train", window.mean(), epoch)
+            writer.scalar("Loss/Val", val["loss"], epoch)
+            writer.scalar("Acc/Val", val["accuracy"], epoch)
+            writer.scalar("Loss/Train_val", tval["loss"], epoch)
+            writer.scalar("Acc/Train_val", tval["accuracy"], epoch)
+            writer.scalar("Learning Rate", float(trainer.schedule(int(trainer.state.step))), epoch)
+            ckpt.save_checkpoint(
+                ckpt_dir, trainer.state, epoch,
+                {"val_acc": val["accuracy"], "val_loss": val["loss"], "train_loss": window.mean()},
+            )
+            results.update({"val": val, "trainval": tval, "epoch": epoch})
+        save_params(savepath, trainer.state.params)
+        log.info("training complete; saved weights to %s", savepath)
+
+    if run_eval and not run_train:
+        weights = loadpath or savepath
+        if Path(weights).exists():
+            trainer.state = trainer.state.replace(
+                params=load_params(weights, trainer.state.params)
+            )
+            log.info("loaded weights from %s", weights)
+    if run_eval:
+        test = trainer.evaluate(loaders["test"])
+        results["test"] = test
+        writer.scalar("Acc/Test", test["accuracy"], 0)
+        writer.scalar("Loss/Test", test["loss"], 0)
+        if verbose >= 1:
+            log.info("test acc %.2f%% loss %.4f (n=%d)", test["accuracy"] * 100,
+                     test["loss"], int(test["count"]))
+        if not run_train:
+            results["val"] = trainer.evaluate(loaders["minival"])
+            results["trainval"] = trainer.evaluate(loaders["trainval"])
+
+    writer.close()
+    return results

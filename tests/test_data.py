@@ -1,0 +1,137 @@
+import numpy as np
+import pytest
+
+from rgbnomore_tpu.data.index import IndexDataset, load_index, split_train_minival
+from rgbnomore_tpu.data.loader import DctCanvasLoader, RgbCanvasLoader
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    """12 tiny JPEGs across 3 classes + an index CSV."""
+    root = tmp_path_factory.mktemp("mini")
+    rng = np.random.default_rng(0)
+    rows = ["Filepath,Label"]
+    for i in range(12):
+        arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        p = root / f"img_{i}.jpg"
+        Image.fromarray(arr, "RGB").save(p, quality=90)
+        rows.append(f"{p},{i % 3}")
+    csv = root / "index.csv"
+    csv.write_text("\n".join(rows) + "\n")
+    return csv
+
+
+def test_load_index(mini_dataset):
+    ds = load_index(mini_dataset)
+    assert len(ds) == 12
+    assert ds.labels.dtype == np.int32
+    assert set(ds.labels.tolist()) == {0, 1, 2}
+
+
+def test_split_deterministic(mini_dataset):
+    ds = load_index(mini_dataset)
+    t1, v1, tv1 = split_train_minival(ds, split=0.25, trainval_frac=0.5, seed=7)
+    t2, v2, tv2 = split_train_minival(ds, split=0.25, trainval_frac=0.5, seed=7)
+    np.testing.assert_array_equal(t1.paths, t2.paths)
+    np.testing.assert_array_equal(v1.paths, v2.paths)
+    assert len(v1) == 3 and len(t1) == 9
+    assert set(v1.paths) & set(t1.paths) == set()
+
+
+def test_dct_loader_batches(mini_dataset):
+    ds = load_index(mini_dataset)
+    loader = DctCanvasLoader(ds, batch_size=4, canvas=8, shuffle=True, seed=1, num_threads=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["y"].shape == (4, 1, 8, 8, 8, 8) and b["y"].dtype == np.int16
+    assert b["cbcr"].shape == (4, 2, 4, 4, 8, 8)
+    assert b["quant"].shape == (4, 3, 8, 8) and (b["quant"][:, 0] > 0).all()
+    assert (b["weights"] == 1.0).all()
+    assert b["y"].any(), "coefficients must be non-zero"
+
+
+def test_dct_loader_epoch_shuffle_differs(mini_dataset):
+    ds = load_index(mini_dataset)
+    loader = DctCanvasLoader(ds, batch_size=12, canvas=8, shuffle=True, seed=1, num_threads=2)
+    loader.set_epoch(0)
+    l0 = next(iter(loader))["labels"].copy()
+    loader.set_epoch(1)
+    l1 = next(iter(loader))["labels"].copy()
+    assert not np.array_equal(l0, l1)
+    assert sorted(l0) == sorted(l1)
+
+
+def test_dct_loader_sharding_no_overlap(mini_dataset):
+    """Eval sharding: strided slices cover everything exactly once."""
+    ds = load_index(mini_dataset)
+    seen = []
+    for shard in range(3):
+        loader = DctCanvasLoader(
+            ds, batch_size=2, canvas=8, shuffle=False, shard_id=shard, num_shards=3, num_threads=2
+        )
+        for b in loader:
+            seen.extend(b["labels"][b["weights"] > 0].tolist())
+    assert len(seen) == 12
+
+
+def test_dct_loader_pads_last_batch_with_zero_weights(mini_dataset):
+    ds = load_index(mini_dataset)
+    loader = DctCanvasLoader(ds, batch_size=5, canvas=8, shuffle=False, num_threads=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    last = batches[-1]
+    assert last["weights"].sum() == 2.0  # 12 = 5 + 5 + 2
+    assert (last["weights"][2:] == 0).all()
+
+
+def test_dct_loader_decode_error_surfaces(tmp_path, mini_dataset):
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"not a jpeg at all")
+    ds = IndexDataset(np.asarray([str(bad)], dtype=object), np.asarray([0], np.int32))
+    loader = DctCanvasLoader(ds, batch_size=1, canvas=8, num_threads=1)
+    with pytest.raises(RuntimeError):
+        list(loader)
+
+
+def test_rgb_loader(mini_dataset):
+    ds = load_index(mini_dataset)
+    loader = RgbCanvasLoader(ds, batch_size=4, image_size=64, shuffle=False, num_threads=2)
+    b = next(iter(loader))
+    assert b["pixels"].shape == (4, 3, 64, 64) and b["pixels"].dtype == np.uint8
+    assert b["pixels"].any()
+
+
+def test_staging_index_builder(tmp_path):
+    from rgbnomore_tpu.data.staging import build_index_csv
+
+    rng = np.random.default_rng(0)
+    for cls in ("n01", "n02"):
+        d = tmp_path / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"{cls}_{i}.JPEG")
+    n = build_index_csv(tmp_path, tmp_path / "idx.csv", "train")
+    assert n == 4
+    ds = load_index(tmp_path / "idx.csv")
+    assert len(ds) == 4 and set(ds.labels.tolist()) == {0, 1}
+
+
+def test_staging_png_masquerade(tmp_path):
+    from rgbnomore_tpu.data.staging import transcode_png_masquerade
+    from rgbnomore_tpu import codec
+
+    d = tmp_path / "train" / "n02105855"
+    d.mkdir(parents=True)
+    arr = np.zeros((16, 16, 3), np.uint8)
+    png_path = d / "n02105855_2933.JPEG"
+    Image.fromarray(arr, "RGB").save(png_path, format="PNG")  # PNG in disguise
+    with pytest.raises(RuntimeError):
+        codec.read_coefficients(str(png_path))
+    assert transcode_png_masquerade(tmp_path / "train")
+    dims, quant, y, cbcr = codec.read_coefficients(str(png_path))  # now decodes
+    assert y.shape == (1, 2, 2, 8, 8)

@@ -1,0 +1,137 @@
+"""End-to-end slice tests: real JPEGs -> loader -> device pipeline -> train/eval."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from rgbnomore_tpu import codec
+from rgbnomore_tpu.train.config import generate_config
+
+
+@pytest.fixture(scope="module")
+def tiny_imagenet(tmp_path_factory):
+    """12 synthetic 64x64 JPEGs across 3 classes, train+val indexes."""
+    root = tmp_path_factory.mktemp("tiny")
+    rng = np.random.default_rng(0)
+    rows = ["Filepath,Label"]
+    for i in range(12):
+        ys, xs = np.mgrid[0:64, 0:64]
+        cls = i % 3
+        img = np.stack([
+            (128 + 80 * np.sin(ys / (3 + cls)) * np.cos(xs / (2 + cls))).astype(np.uint8),
+            (128 + 60 * np.cos(ys / (4 + cls))).astype(np.uint8),
+            (128 + 60 * np.sin(xs / (5 + cls))).astype(np.uint8),
+        ])
+        p = root / f"img_{i}.jpg"
+        codec.write_tensor(p, img, quality=92)
+        rows.append(f"{p},{cls}")
+    (root / "index_train.csv").write_text("\n".join(rows) + "\n")
+    (root / "index_val.csv").write_text("\n".join(rows) + "\n")
+    return root
+
+
+def _tiny_cfg():
+    cfg = generate_config("vitti", "dct", modelver=1)
+    cfg.model.depth = 2
+    cfg.model.dct_blocks = 8
+    cfg.model.classes = 3
+    cfg.train.epochs = 2
+    cfg.train.batch_size = 8
+    cfg.train.warmup = 2
+    cfg.train.split = 0.25
+    return cfg
+
+
+def test_train_and_eval_slice(tiny_imagenet, tmp_path):
+    from rgbnomore_tpu.train.loop import train_and_eval
+
+    cfg = _tiny_cfg()
+    save = tmp_path / "model.msgpack"
+    results = train_and_eval(
+        cfg,
+        str(tiny_imagenet / "index_train.csv"),
+        str(tiny_imagenet / "index_val.csv"),
+        savepath=str(save),
+        run_train=True,
+        run_eval=True,
+        verbose=0,
+        canvas=8,
+        num_threads=2,
+    )
+    assert "test" in results and 0.0 <= results["test"]["accuracy"] <= 1.0
+    assert results["test"]["count"] == 12.0  # no double counting
+    assert save.exists()
+    ckpts = tmp_path / "checkpoints" / "vitti_dct"
+    assert ckpts.exists()
+
+
+def test_resume_from_checkpoint(tiny_imagenet, tmp_path):
+    from rgbnomore_tpu.train.loop import train_and_eval
+
+    cfg = _tiny_cfg()
+    save = tmp_path / "model.msgpack"
+    train_and_eval(
+        cfg,
+        str(tiny_imagenet / "index_train.csv"),
+        str(tiny_imagenet / "index_val.csv"),
+        savepath=str(save), run_train=True, run_eval=False, verbose=0,
+        canvas=8, num_threads=2,
+    )
+    ckpt_dir = tmp_path / "checkpoints" / "vitti_dct"
+    cfg2 = _tiny_cfg()
+    cfg2.train.epochs = 3
+    res = train_and_eval(
+        cfg2,
+        str(tiny_imagenet / "index_train.csv"),
+        str(tiny_imagenet / "index_val.csv"),
+        savepath=str(save), load_ckpt_dir=str(ckpt_dir),
+        run_train=True, run_eval=False, verbose=0, canvas=8, num_threads=2,
+    )
+    # resumed from epoch 2 (0-indexed start_epoch=2) and ran only epoch 3
+    assert res["epoch"] == 2
+
+
+def test_eval_only_loads_saved_weights(tiny_imagenet, tmp_path):
+    from rgbnomore_tpu.train.loop import train_and_eval
+
+    cfg = _tiny_cfg()
+    save = tmp_path / "model.msgpack"
+    r1 = train_and_eval(
+        cfg, str(tiny_imagenet / "index_train.csv"), str(tiny_imagenet / "index_val.csv"),
+        savepath=str(save), run_train=True, run_eval=True, verbose=0, canvas=8, num_threads=2,
+    )
+    r2 = train_and_eval(
+        cfg, str(tiny_imagenet / "index_train.csv"), str(tiny_imagenet / "index_val.csv"),
+        savepath=str(save), run_train=False, run_eval=True, verbose=0, canvas=8, num_threads=2,
+    )
+    assert r2["test"]["accuracy"] == pytest.approx(r1["test"]["accuracy"])
+
+
+def test_benchmark_harness_runs(tiny_imagenet):
+    from rgbnomore_tpu.benchmark import benchmark_dataloader, benchmark_pipeline
+    from rgbnomore_tpu.train.loop import Trainer, make_loaders
+
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg, canvas=8)
+    loaders = make_loaders(
+        cfg, str(tiny_imagenet / "index_train.csv"), str(tiny_imagenet / "index_val.csv"),
+        canvas=8, num_threads=2, global_batch=trainer.global_batch(),
+    )
+    trainer.create_state(max(1, len(loaders["train"])))
+    n, dt = benchmark_dataloader(loaders["test"], 3)
+    assert n > 0 and dt > 0
+    n, dt = benchmark_pipeline(trainer, loaders["test"], 2, "test")
+    assert dt >= 0
+
+
+def test_cli_help():
+    out = subprocess.run(
+        [sys.executable, "train.py", "--help"], capture_output=True, text=True,
+        cwd=Path(__file__).resolve().parent.parent,
+    )
+    assert out.returncode == 0
+    for flag in ("--model_arch", "--embed_type", "--benchmark", "--ops_magnitude"):
+        assert flag in out.stdout

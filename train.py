@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Train / evaluate / benchmark CLI — flag parity with the reference train.py.
+
+Differences from the reference (``/root/reference/train.py:13-64``), by design:
+- no ``--port`` / process spawning: one process drives all local TPU devices
+  via a data mesh (SPMD), and multi-host uses ``jax.distributed``;
+- ``--num_gpus`` is accepted as ``--num_devices`` (alias kept);
+- checkpoints are Orbax directories, final weights flax msgpack.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    # model config
+    p.add_argument("--model_arch", type=str, default="vits",
+                   help="Model architecture (vitti, vits, vitb, vitl, swinv2)")
+    p.add_argument("--no_subblock", action="store_true", help="Disable subblock conversion")
+    p.add_argument("--embed_type", type=int, default=2,
+                   help="Embedding type: 1 grouped, 2 separate, 3 concatenate")
+    p.add_argument("--domain", type=str, default="dct", help="(DCT/RGB) input domain")
+    # data config
+    p.add_argument("--datapath", type=str, default="./imagenet",
+                   help="Folder containing the ImageNet .tar files")
+    p.add_argument("--temp_datapath", type=str, default="/tmp/imagenet_data",
+                   help="Where to extract/stage the dataset")
+    p.add_argument("--indexpaths", type=str, default="assets/index_train.csv,assets/index_val.csv",
+                   help="train,val index CSVs (comma separated)")
+    p.add_argument("--delete_dataset", action="store_true")
+    p.add_argument("--no_extract", action="store_true")
+    p.add_argument("--no_resize", action="store_true")
+    p.add_argument("--num_devices", "--num_gpus", type=int, default=-1,
+                   help="Number of accelerator devices (-1: all local)")
+    p.add_argument("--num_cpus", type=int, default=4, help="Host threads for the loader")
+    p.add_argument("--use_msrsync", action="store_true")
+    p.add_argument("--stage_data", action="store_true",
+                   help="Run dataset staging (tar extract + resize) before training")
+    # pipeline config
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--benchmark", type=int, default=0, help="Benchmark for N iterations")
+    p.add_argument("--savepath", type=str, default="./models/ViT_v1.msgpack")
+    p.add_argument("--loadpath", type=str, default="")
+    p.add_argument("--load_ckpt", type=str, default="")
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--verbose", type=int, default=1, help="0/1/2 logging verbosity")
+    # hyperparameter overrides (-1 / '' sentinel = use preset)
+    p.add_argument("--epochs", type=int, default=-1)
+    p.add_argument("--batch", type=int, default=-1)
+    p.add_argument("--lr", type=float, default=-1)
+    p.add_argument("--wd", type=float, default=-1)
+    p.add_argument("--drop", type=float, default=-1)
+    p.add_argument("--warmup_steps", type=int, default=-1)
+    p.add_argument("--ops_list", type=str, default="")
+    p.add_argument("--num_ops", type=int, default=-1)
+    p.add_argument("--ops_magnitude", type=int, default=-1)
+    p.add_argument("--amp", type=int, default=-1)
+    p.add_argument("--ampdtype", type=str, default="")
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--max_steps_per_epoch", type=int, default=0,
+                   help="Debug: cap steps per epoch")
+    return p.parse_args()
+
+
+def main():
+    logging.basicConfig(
+        format="[%(asctime)s] %(levelname)s: %(message)s",
+        datefmt="%m/%d/%Y %H:%M:%S",
+        level=logging.INFO,
+    )
+    args = parse_args()
+
+    from rgbnomore_tpu.train.config import generate_config
+
+    cfg = generate_config(
+        modelarch=args.model_arch.lower(),
+        domain=args.domain,
+        modelver=args.embed_type,
+        subblock=not args.no_subblock,
+        epochs=None if args.epochs < 0 else args.epochs,
+        batchsize=None if args.batch < 0 else args.batch,
+        lr=None if args.lr < 0 else args.lr,
+        wd=None if args.wd < 0 else args.wd,
+        drop=None if args.drop < 0 else args.drop,
+        warmup_steps=None if args.warmup_steps < 0 else args.warmup_steps,
+        auglist=None if args.ops_list == "" else args.ops_list,
+        num_ops=None if args.num_ops < 0 else args.num_ops,
+        ops_magnitude=None if args.ops_magnitude < 0 else args.ops_magnitude,
+        seed=None if args.seed < 0 else args.seed,
+        amp=None if args.amp < 0 else bool(args.amp),
+        ampdtype=None if args.ampdtype == "" else args.ampdtype,
+    )
+    if args.deterministic:
+        import os
+
+        os.environ.setdefault("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] += " --xla_gpu_deterministic_ops=true"
+
+    if args.stage_data:
+        from rgbnomore_tpu.data.staging import stage_dataset
+
+        stage_dataset(
+            args.datapath, args.temp_datapath,
+            no_extract=args.no_extract, no_resize=args.no_resize,
+            use_msrsync=args.use_msrsync, workers=args.num_cpus,
+        )
+
+    index_train, index_val = args.indexpaths.split(",")
+
+    if args.benchmark > 0:
+        from rgbnomore_tpu.benchmark import benchmark_model
+
+        benchmark_model(cfg, args.benchmark, index_train, index_val,
+                        num_threads=args.num_cpus, verbose=args.verbose)
+        return
+
+    if args.train or args.eval:
+        from rgbnomore_tpu.train.loop import train_and_eval
+
+        train_and_eval(
+            cfg,
+            index_train,
+            index_val,
+            savepath=args.savepath,
+            loadpath=args.loadpath,
+            load_ckpt_dir=args.load_ckpt,
+            run_train=args.train,
+            run_eval=args.eval,
+            verbose=args.verbose,
+            num_threads=args.num_cpus,
+            max_steps_per_epoch=args.max_steps_per_epoch or None,
+        )
+
+    if args.delete_dataset:
+        import shutil
+
+        shutil.rmtree(args.temp_datapath, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
