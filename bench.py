@@ -60,8 +60,14 @@ def make_synthetic_dataset(root: Path, n: int) -> Path:
 def main() -> None:
     import jax
 
+    # persistent compilation cache: first compile is slow, later runs reuse it
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import jax
+
     from rgbnomore_tpu.data.index import load_index
-    from rgbnomore_tpu.data.loader import DctCanvasLoader
+    from rgbnomore_tpu.data.loader import DctPackedLoader
     from rgbnomore_tpu.train.config import generate_config, update_runtime
     from rgbnomore_tpu.train.loop import Trainer
 
@@ -71,34 +77,50 @@ def main() -> None:
     cfg = update_runtime(cfg, jax.device_count())
     trainer = Trainer(cfg)
     ds = load_index(index)
-    loader = DctCanvasLoader(
+    loader = DctPackedLoader(
         ds, trainer.global_batch(), canvas=64, shuffle=True, drop_last=True,
         seed=0, num_threads=8, prefetch=4,
     )
     if len(loader) == 0:
         raise RuntimeError("benchmark loader produced zero batches")
-    trainer.create_state(steps_per_epoch=len(loader))
+    # zero-init params via eval_shape: skips the ~1 min init compile; loss
+    # values are meaningless but throughput is identical
+    import jax.numpy as jnp
+
+    from rgbnomore_tpu.train.config import example_inputs
+    from rgbnomore_tpu.train.optim import make_optimizer
+    from rgbnomore_tpu.train.steps import TrainState
+
+    tx, trainer.schedule = make_optimizer(
+        cfg.train.lr, cfg.train.wd, cfg.train.warmup, 10_000
+    )
+    shapes = jax.eval_shape(
+        lambda: trainer.model.init(jax.random.PRNGKey(0), *example_inputs(cfg, 2))
+    )
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)["params"]
+    trainer.state = jax.device_put(
+        TrainState.create(apply_fn=trainer.model.apply, params=params, tx=tx),
+        trainer._rs,
+    )
     step = trainer._fused_train_step()
     rng = jax.random.PRNGKey(0)
 
-    # warm up: one full epoch pass compiles and fills caches
-    def run_iters(n_iters: int) -> tuple[int, float]:
+    # continuous cycling iterator: no producer restarts at epoch boundaries
+    def run_iters(n_iters: int, skip: int = 0) -> tuple[int, float]:
         n_img = 0
-        done = 0
-        t0 = time.perf_counter()
-        while done < n_iters:
-            loader.set_epoch(done)
-            for batch in loader:
-                trainer.state, metrics = step(trainer.state, trainer.put_batch(batch), rng)
-                n_img += batch["y"].shape[0]
-                done += 1
-                if done >= n_iters:
-                    break
+        t0 = None
+        for i, batch in enumerate(loader.iter_cycle(n_iters + skip)):
+            trainer.state, metrics = step(trainer.state, trainer.put_batch(batch), rng)
+            if i + 1 == skip:
+                jax.block_until_ready(trainer.state.params)
+                t0 = time.perf_counter()
+                continue
+            if i >= skip:
+                n_img += batch["labels"].shape[0]
         jax.block_until_ready(trainer.state.params)
-        return n_img, time.perf_counter() - t0
+        return n_img, time.perf_counter() - (t0 or time.perf_counter())
 
-    run_iters(3)  # compile + cache warmup, excluded
-    n_img, dt = run_iters(MEASURE_ITERS)
+    n_img, dt = run_iters(MEASURE_ITERS, skip=3)  # first 3 iters compile/warm
 
     # component: device-only step rate (batch resident), isolates host/transfer
     batch0 = next(iter(loader))
@@ -106,10 +128,10 @@ def main() -> None:
     trainer.state, _ = step(trainer.state, dev, rng)
     jax.block_until_ready(trainer.state.params)
     t0 = time.perf_counter()
-    for _ in range(20):
+    for _ in range(10):
         trainer.state, _ = step(trainer.state, dev, rng)
     jax.block_until_ready(trainer.state.params)
-    device_fps = 20 * batch0["y"].shape[0] / (time.perf_counter() - t0)
+    device_fps = 10 * batch0["labels"].shape[0] / (time.perf_counter() - t0)
 
     n_chips = jax.device_count()
     fps_per_chip = n_img / dt / n_chips

@@ -1,0 +1,6 @@
+#!/bin/sh
+# train recipe for vits in the dct domain (TPU SPMD; all local devices)
+python train.py --model_arch=vits --embed_type=1 --domain=dct \
+  --datapath=/data/imagenet/tarfiles --temp_datapath=/tmp/imagenet_data \
+  --indexpaths=assets/index_train.csv,assets/index_val.csv \
+  --num_cpus=32 --train --eval --savepath=./models/rgbnomore_dcts.msgpack --verbose=1

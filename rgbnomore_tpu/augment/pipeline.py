@@ -23,7 +23,59 @@ from rgbnomore_tpu.augment.randaugment import RandAugmentDCT
 from rgbnomore_tpu.ops import blocks
 from rgbnomore_tpu.ops.photometric import DCT_MAX, DCT_MIN
 
-__all__ = ["dequantize", "to_range", "make_train_pipeline", "make_eval_pipeline"]
+__all__ = [
+    "dequantize",
+    "split_packed_batch",
+    "unpack_coefficients",
+    "to_range",
+    "make_train_pipeline",
+    "make_eval_pipeline",
+]
+
+
+def split_packed_batch(packed: jax.Array, canvas: int, k: int) -> dict[str, jax.Array]:
+    """Re-slice the consolidated (B, row) uint8 buffer into typed fields.
+
+    Inverse of the host-side layout (``data.loader.packed_layout``): static
+    slices + bitcasts, free under XLA fusion.
+    """
+    import numpy as np
+
+    from rgbnomore_tpu.data.loader import packed_layout
+
+    layout = packed_layout(canvas, k)
+    b = packed.shape[0]
+    out = {}
+    for name, spec in layout.items():
+        if name == "row":
+            continue
+        off, shape, dtype = spec
+        itemsize = dtype.itemsize
+        n = int(np.prod(shape, dtype=np.int64))
+        sl = jax.lax.slice_in_dim(packed, off, off + n * itemsize, axis=1)
+        if itemsize == 1:
+            arr = jax.lax.bitcast_convert_type(sl, jnp.dtype(dtype))
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                sl.reshape(b, n, itemsize), jnp.dtype(dtype)
+            )
+        out[name] = arr.reshape((b,) + shape)
+    return out
+
+
+def unpack_coefficients(values: jax.Array, indices: jax.Array, scales: jax.Array) -> jax.Array:
+    """Decompress sparse top-K packed blocks to dense quantized coefficients.
+
+    ``values`` (..., H, W, K) int8, ``indices`` (..., H, W, K) uint8 block
+    positions, ``scales`` (..., H, W) uint8.  Returns (..., H, W, 8, 8)
+    float32 quantized coefficients.  The compare-and-reduce form compiles to
+    a fused VPU loop on TPU (no scatter).
+    """
+    vals = values.astype(jnp.float32) * scales[..., None].astype(jnp.float32)
+    slots = jnp.arange(64, dtype=jnp.int32)
+    hit = indices.astype(jnp.int32)[..., None] == slots  # (..., K, 64)
+    dense = jnp.sum(vals[..., None] * hit, axis=-2)  # (..., 64)
+    return dense.reshape(dense.shape[:-1] + (8, 8))
 
 
 def dequantize(y_q: jax.Array, c_q: jax.Array, quant: jax.Array):
@@ -71,9 +123,12 @@ def make_train_pipeline(
     num_ops: int = 2,
     magnitude: int = 3,
     out_dtype=jnp.float32,
+    packed: bool = False,
 ) -> Callable:
-    """Build the jitted train input pipeline ``fn(rng, y_q, c_q, quant)``.
+    """Build the jitted train input pipeline.
 
+    Dense: ``fn(rng, y_q, c_q, quant)``.  ``packed=True``: ``fn(rng, batch)``
+    where ``batch`` carries the sparse top-K fields (vy/iy/sy/vc/ic/sc/quant).
     Matches the ``imagenet_dct`` train chain (``datasets.py:354-361``):
     RandomResizedCrop(target, scale .05-1, ratio 1:1) -> HFlip ->
     RandAugment(num_ops, magnitude) -> ToRange(-1, 1).
@@ -88,15 +143,26 @@ def make_train_pipeline(
         ops_list=list(auglist or []), num_ops=num_ops, magnitude=magnitude, grid=target
     )
 
-    def pipeline(rng, y_q, c_q, quant):
+    def tail(rng, y, c, quant):
         k_crop, k_flip, k_aug = jax.random.split(rng, 3)
-        y, c = dequantize(y_q, c_q, quant)
+        y, c = dequantize(y, c, quant)
         y, c = rrc(k_crop, y, c)
         y, c = random_flip(k_flip, y, c)
         y, c = aug(k_aug, y, c)
         return to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype)
 
-    return pipeline
+    if packed:
+
+        def pipeline(rng, packed_buf, k: int = 16):
+            f = split_packed_batch(packed_buf, canvas, k)
+            y = unpack_coefficients(f["vy"], f["iy"], f["sy"])
+            c = unpack_coefficients(f["vc"], f["ic"], f["sc"])
+            out_y, out_c = tail(rng, y, c, f["quant"])
+            return out_y, out_c, f["labels"], f["weights"]
+
+        return pipeline
+
+    return lambda rng, y_q, c_q, quant: tail(rng, y_q, c_q, quant)
 
 
 def make_eval_pipeline(
@@ -106,8 +172,10 @@ def make_eval_pipeline(
     canvas: int = 64,
     swin: bool = False,
     out_dtype=jnp.float32,
+    packed: bool = False,
 ) -> Callable:
-    """Build the jitted eval pipeline ``fn(y_q, c_q, quant)``.
+    """Build the jitted eval pipeline (dense ``fn(y_q, c_q, quant)`` or packed
+    ``fn(batch)``).
 
     ViT: ResizedCenterCrop(32 -> 28) (``datasets.py:364``); Swin: full resize
     to 32 (``datasets.py:381``).  Then ToRange(-1, 1).
@@ -120,9 +188,20 @@ def make_eval_pipeline(
     else:
         crop = make_center_crop_resize(target + 4, target, canvas)
 
-    def pipeline(y_q, c_q, quant):
-        y, c = dequantize(y_q, c_q, quant)
+    def tail(y, c, quant):
+        y, c = dequantize(y, c, quant)
         y, c = crop(y, c)
         return to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype)
 
-    return pipeline
+    if packed:
+
+        def pipeline(packed_buf, k: int = 16):
+            f = split_packed_batch(packed_buf, canvas, k)
+            y = unpack_coefficients(f["vy"], f["iy"], f["sy"])
+            c = unpack_coefficients(f["vc"], f["ic"], f["sc"])
+            out_y, out_c = tail(y, c, f["quant"])
+            return out_y, out_c, f["labels"], f["weights"]
+
+        return pipeline
+
+    return tail

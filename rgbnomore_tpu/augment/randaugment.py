@@ -207,8 +207,10 @@ class RandAugmentDCT:
         def per_sample(rng, y1, c1):
             y1 = ph.clamp_dct(y1)
             c1 = ph.clamp_dct(c1)
-            allowed = jnp.ones((n,), bool)
-            for _ in range(self.num_ops):
+
+            # scan over rounds so the op branches are traced/compiled once
+            def round_body(carry, _):
+                y1, c1, allowed, rng = carry
                 rng, k_op, k_sign, k_inner = jax.random.split(rng, 4)
                 # if exclusions emptied the list (all-chroma lists), reopen it
                 allowed = jnp.where(allowed.any(), allowed, jnp.ones_like(allowed))
@@ -217,14 +219,18 @@ class RandAugmentDCT:
                 sign = jnp.where(
                     jax.random.bernoulli(k_sign) & (signed[idx] > 0), -1.0, 1.0
                 )
-                y1, c1 = jax.lax.switch(
-                    idx, ops, y1, c1, k_inner, sign
-                )
+                y1, c1 = jax.lax.switch(idx, ops, y1, c1, k_inner, sign)
                 # exclusion rule: grayscale disables chroma ops and vice versa
                 chose_gray = is_gray[idx]
                 chose_chroma = is_chroma[idx] & ~chose_gray
                 allowed = jnp.where(chose_gray, allowed & ~is_chroma, allowed)
                 allowed = jnp.where(chose_chroma, allowed & ~is_gray, allowed)
+                return (y1, c1, allowed, rng), None
+
+            allowed = jnp.ones((n,), bool)
+            (y1, c1, _, _), _ = jax.lax.scan(
+                round_body, (y1, c1, allowed, rng), None, length=self.num_ops
+            )
             return y1, c1
 
         keys = jax.random.split(rng, y.shape[0])

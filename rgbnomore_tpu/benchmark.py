@@ -144,7 +144,7 @@ def benchmark_model(cfg, iters: int, index_train: str, index_val: str,
 
     trainer = Trainer(cfg)
     loaders = make_loaders(cfg, index_train, index_val, num_threads=num_threads,
-                           global_batch=trainer.global_batch())
+                           global_batch=trainer.global_batch(), transfer=trainer.transfer)
     trainer.create_state(max(1, len(loaders["train"])))
 
     results: dict[str, float] = {}

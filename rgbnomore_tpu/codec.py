@@ -32,6 +32,7 @@ except ImportError:  # first use: compile the extension in-place
 __all__ = [
     "read_coefficients",
     "read_into_canvas",
+    "read_into_packed",
     "write_coefficients",
     "quantize_at_quality",
     "write_tensor",
@@ -85,6 +86,31 @@ def read_into_canvas(
     ch_c, cw_c = c_canvas.shape[-4], c_canvas.shape[-3]
     return _dctcodec.read_into_canvas(
         str(path), y_canvas, yh_c, yw_c, c_canvas, ch_c, cw_c, quant_out
+    )
+
+
+def read_into_packed(
+    path: str,
+    k: int,
+    vy: np.ndarray, iy: np.ndarray, sy: np.ndarray,
+    vc: np.ndarray, ic: np.ndarray, sc: np.ndarray,
+    quant_out: np.ndarray,
+):
+    """Decode + sparse top-K pack straight into caller canvases (hot path).
+
+    Per 8x8 block the K largest-|v| quantized coefficients are stored as
+    ``value int8 = round(coeff/scale)`` with ``scale uint8 = ceil(max|v|/127)``
+    and their positions as uint8 indices — ~4x fewer host->device bytes than
+    dense int16 at K=16 (JPEG blocks average ~10-14 nonzeros at q90).
+
+    Shapes: ``vy/iy`` (1, YH, YW, K) int8/uint8, ``sy`` (1, YH, YW) uint8;
+    ``vc/ic`` (2, CH, CW, K), ``sc`` (2, CH, CW); ``quant_out`` (3, 8, 8)
+    int16.  Returns ``(ncomp, yh, yw, ch, cw)``.
+    """
+    yh_c, yw_c = vy.shape[-3], vy.shape[-2]
+    ch_c, cw_c = vc.shape[-3], vc.shape[-2]
+    return _dctcodec.read_into_packed(
+        str(path), k, vy, iy, sy, yh_c, yw_c, vc, ic, sc, ch_c, cw_c, quant_out
     )
 
 

@@ -85,25 +85,34 @@ class _BaseLoader:
     def _decode_batch(self, pool: ThreadPoolExecutor, idx: np.ndarray) -> dict:
         raise NotImplementedError
 
-    def __iter__(self):
-        indices = self._epoch_indices()
-        nb = len(self)
+    def _iterate(self, total_batches: int | None, cycle: bool):
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
+            produced = 0
             with ThreadPoolExecutor(self.num_threads) as pool:
-                for b in range(nb):
-                    if stop.is_set():
+                while True:
+                    indices = self._epoch_indices()
+                    nb = len(self)
+                    for b in range(nb):
+                        if stop.is_set():
+                            return
+                        if total_batches is not None and produced >= total_batches:
+                            out_q.put(None)
+                            return
+                        lo = b * self.batch_size
+                        batch_idx = indices[lo : lo + self.batch_size]
+                        try:
+                            out_q.put(self._decode_batch(pool, batch_idx))
+                        except Exception as exc:  # surface decode errors
+                            out_q.put(exc)
+                            return
+                        produced += 1
+                    if not cycle:
+                        out_q.put(None)
                         return
-                    lo = b * self.batch_size
-                    batch_idx = indices[lo : lo + self.batch_size]
-                    try:
-                        out_q.put(self._decode_batch(pool, batch_idx))
-                    except Exception as exc:  # surface decode errors to consumer
-                        out_q.put(exc)
-                        return
-            out_q.put(None)
+                    self.epoch += 1  # continuous mode: advance the shuffle
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -117,6 +126,15 @@ class _BaseLoader:
                 yield item
         finally:
             stop.set()
+
+    def __iter__(self):
+        return self._iterate(None, cycle=False)
+
+    def iter_cycle(self, total_batches: int):
+        """Continuous multi-epoch iteration without producer restarts —
+        keeps the decode pipeline warm for steady-state benchmarking and
+        epoch-boundary-free training loops."""
+        return self._iterate(total_batches, cycle=True)
 
 
 class DctCanvasLoader(_BaseLoader):
@@ -143,6 +161,87 @@ class DctCanvasLoader(_BaseLoader):
 
         list(pool.map(lambda args: work(*args), enumerate(idx)))
         return {"y": y, "cbcr": c, "quant": quant, "labels": labels, "weights": weights}
+
+
+def packed_layout(canvas: int, k: int) -> dict:
+    """Per-SAMPLE byte layout of the consolidated packed row.
+
+    All per-sample fields live in one uint8 row so a whole batch transfers as
+    a single ``(B, row_bytes)`` buffer (shardable on the batch axis; one
+    device_put call — per-transfer overhead through thin links is
+    significant).  Returns field -> (byte_offset, per-sample shape, dtype)
+    plus ``"row"`` -> row bytes.
+    """
+    cv2 = canvas // 2
+    fields = {
+        "vy": ((1, canvas, canvas, k), np.int8),
+        "iy": ((1, canvas, canvas, k), np.uint8),
+        "sy": ((1, canvas, canvas), np.uint8),
+        "vc": ((2, cv2, cv2, k), np.int8),
+        "ic": ((2, cv2, cv2, k), np.uint8),
+        "sc": ((2, cv2, cv2), np.uint8),
+        "quant": ((3, 8, 8), np.int16),
+        "labels": ((), np.int32),
+        "weights": ((), np.float32),
+    }
+    layout = {}
+    off = 0
+    for name, (shape, dtype) in fields.items():
+        nbytes = int(np.prod(shape, dtype=np.int64)) * np.dtype(dtype).itemsize
+        off = (off + 3) // 4 * 4  # align for int16/int32/float32 views
+        layout[name] = (off, shape, np.dtype(dtype))
+        off += nbytes
+    layout["row"] = (off + 3) // 4 * 4
+    return layout
+
+
+def row_views(row: np.ndarray, layout: dict) -> dict[str, np.ndarray]:
+    """Writable zero-copy dtype/shape views of ONE contiguous row buffer."""
+    out = {}
+    for name, spec in layout.items():
+        if name == "row":
+            continue
+        off, shape, dtype = spec
+        n = int(np.prod(shape, dtype=np.int64))
+        out[name] = np.frombuffer(row, dtype=dtype, count=n, offset=off).reshape(shape)
+    return out
+
+
+class DctPackedLoader(_BaseLoader):
+    """Sparse top-K packed coefficient loader: ~4x fewer host->device bytes
+    than dense int16, shipped as ONE consolidated (B, row) buffer per batch.
+
+    Yields ``{"packed": uint8 (B, row), "labels": ..., "weights": ...}``;
+    labels/weights are host-side copies for bookkeeping — the device step
+    re-slices every field (including labels/weights) from ``packed`` via
+    ``augment.pipeline.split_packed_batch``.
+    """
+
+    def __init__(self, dataset: IndexDataset, batch_size: int, canvas: int = 64,
+                 k: int = 16, **kw):
+        super().__init__(dataset, batch_size, **kw)
+        self.canvas = canvas
+        self.k = k
+        self.layout = packed_layout(canvas, k)
+
+    def _decode_batch(self, pool: ThreadPoolExecutor, idx: np.ndarray) -> dict:
+        buf = np.zeros((self.batch_size, self.layout["row"]), np.uint8)
+        labels = np.zeros((self.batch_size,), np.int32)
+        weights = np.zeros((self.batch_size,), np.float32)
+
+        def work(slot: int, ds_index: int):
+            v = row_views(buf[slot], self.layout)
+            codec.read_into_packed(
+                self.dataset.paths[ds_index], self.k,
+                v["vy"], v["iy"], v["sy"], v["vc"], v["ic"], v["sc"], v["quant"],
+            )
+            v["labels"][...] = self.dataset.labels[ds_index]
+            v["weights"][...] = 1.0
+            labels[slot] = self.dataset.labels[ds_index]
+            weights[slot] = 1.0
+
+        list(pool.map(lambda args: work(*args), enumerate(idx)))
+        return {"packed": buf, "labels": labels, "weights": weights}
 
 
 class RgbCanvasLoader(_BaseLoader):

@@ -20,6 +20,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
 #include <cstdio>
 #include <csetjmp>
 #include <cstring>
@@ -514,6 +515,160 @@ PyObject* py_read_into_canvas(PyObject*, PyObject* args) {
                        info.width_in_blocks[1], info.down_h[0], info.down_w[0]);
 }
 
+// ---------------------------------------------------------------------------
+// Packed (sparse top-K) decode: the transfer-compression hot path.
+// Per 8x8 block we keep the K largest-|v| quantized coefficients as
+// (int8 value, uint8 index) pairs plus a uint8 scale, cutting host->device
+// bytes ~4x (K=16).  value = round(coeff / scale), scale = ceil(max|v|/127).
+// ---------------------------------------------------------------------------
+void pack_block_topk(const int16_t* block, int k, int8_t* values, uint8_t* indices,
+                     uint8_t* scale_out) {
+  // collect nonzeros (JPEG-quantized blocks are mostly zero)
+  int idx[64];
+  int n = 0;
+  int16_t maxabs = 0;
+  for (int i = 0; i < 64; ++i) {
+    if (block[i] != 0) {
+      idx[n++] = i;
+      int16_t a = block[i] < 0 ? -block[i] : block[i];
+      if (a > maxabs) maxabs = a;
+    }
+  }
+  if (n > k) {
+    // partial selection of the k largest |v|
+    std::partial_sort(idx, idx + k, idx + n, [&](int a, int b) {
+      int av = block[a] < 0 ? -block[a] : block[a];
+      int bv = block[b] < 0 ? -block[b] : block[b];
+      return av > bv;
+    });
+    n = k;
+  }
+  int scale = (maxabs + 126) / 127;
+  if (scale < 1) scale = 1;
+  if (scale > 255) scale = 255;
+  *scale_out = static_cast<uint8_t>(scale);
+  for (int j = 0; j < n; ++j) {
+    int v = (block[idx[j]] + (block[idx[j]] >= 0 ? scale / 2 : -(scale / 2))) / scale;
+    if (v > 127) v = 127;
+    if (v < -127) v = -127;
+    values[j] = static_cast<int8_t>(v);
+    indices[j] = static_cast<uint8_t>(idx[j]);
+  }
+  for (int j = n; j < k; ++j) {
+    values[j] = 0;
+    indices[j] = 0;
+  }
+}
+
+void pack_component(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays, int comp,
+                    int k, int canvas_h, int canvas_w, int8_t* values,
+                    uint8_t* indices, uint8_t* scales) {
+  const int hb = std::min<int>(cinfo.comp_info[comp].height_in_blocks, canvas_h);
+  const int wb = std::min<int>(cinfo.comp_info[comp].width_in_blocks, canvas_w);
+  for (int row = 0; row < hb; ++row) {
+    JBLOCKARRAY row_ptrs = (*cinfo.mem->access_virt_barray)(
+        reinterpret_cast<j_common_ptr>(&cinfo), arrays[comp], row, 1, FALSE);
+    for (int b = 0; b < wb; ++b) {
+      size_t off = (static_cast<size_t>(row) * canvas_w + b);
+      pack_block_topk(reinterpret_cast<int16_t*>(row_ptrs[0][b]), k,
+                      values + off * k, indices + off * k, scales + off);
+    }
+  }
+}
+
+// --- read_into_packed(path, k, vy, iy, sy, yc_h, yc_w, vc, ic, sc, cc_h,
+//                      cc_w, quant_buf) -> (ncomp, yh, yw, ch, cw) -----------
+PyObject* py_read_into_packed(PyObject*, PyObject* args) {
+  const char* path;
+  int k, yc_h, yc_w, cc_h, cc_w;
+  Py_buffer vy, iy, sy, vc, ic, sc, qb;
+  if (!PyArg_ParseTuple(args, "siw*w*w*iiw*w*w*iiw*", &path, &k, &vy, &iy, &sy,
+                        &yc_h, &yc_w, &vc, &ic, &sc, &cc_h, &cc_w, &qb))
+    return nullptr;
+
+  Py_buffer* bufs[7] = {&vy, &iy, &sy, &vc, &ic, &sc, &qb};
+  const size_t y_blocks = static_cast<size_t>(yc_h) * yc_w;
+  const size_t c_blocks = 2 * static_cast<size_t>(cc_h) * cc_w;
+  const size_t needs[7] = {y_blocks * k, y_blocks * k, y_blocks,
+                           c_blocks * k, c_blocks * k, c_blocks,
+                           3 * kDct2 * sizeof(int16_t)};
+  for (int i = 0; i < 7; ++i) {
+    if (static_cast<size_t>(bufs[i]->len) < needs[i]) {
+      for (auto* b : bufs) PyBuffer_Release(b);
+      PyErr_SetString(PyExc_ValueError, "packed canvas buffer too small");
+      return nullptr;
+    }
+  }
+
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    for (auto* b : bufs) PyBuffer_Release(b);
+    PyErr_Format(PyExc_FileNotFoundError, "Unable to open file for reading: %s", path);
+    return nullptr;
+  }
+
+  jpeg_decompress_struct cinfo{};
+  ErrorMgr err{};
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = error_exit;
+
+  bool ok = true;
+  std::string msg;
+  CoeffInfo info;
+
+  Py_BEGIN_ALLOW_THREADS;
+  std::memset(vy.buf, 0, needs[0]);
+  std::memset(iy.buf, 0, needs[1]);
+  std::memset(sy.buf, 1, needs[2]);  // scale 1 for empty blocks
+  std::memset(vc.buf, 0, needs[3]);
+  std::memset(ic.buf, 0, needs[4]);
+  std::memset(sc.buf, 1, needs[5]);
+  if (setjmp(err.jump)) {
+    ok = false;
+    msg = err.message;
+  } else {
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
+    info.num_components = cinfo.num_components;
+    for (int i = 0; i < cinfo.num_components && i < 3; ++i) {
+      info.height_in_blocks[i] = cinfo.comp_info[i].height_in_blocks;
+      info.width_in_blocks[i] = cinfo.comp_info[i].width_in_blocks;
+    }
+    int16_t* qdat = static_cast<int16_t*>(qb.buf);
+    pack_component(cinfo, arrays, 0, k, yc_h, yc_w, static_cast<int8_t*>(vy.buf),
+                   static_cast<uint8_t*>(iy.buf), static_cast<uint8_t*>(sy.buf));
+    extract_quant(cinfo, 0, qdat);
+    if (cinfo.num_components > 1) {
+      const size_t plane = static_cast<size_t>(cc_h) * cc_w;
+      pack_component(cinfo, arrays, 1, k, cc_h, cc_w, static_cast<int8_t*>(vc.buf),
+                     static_cast<uint8_t*>(ic.buf), static_cast<uint8_t*>(sc.buf));
+      pack_component(cinfo, arrays, 2, k, cc_h, cc_w,
+                     static_cast<int8_t*>(vc.buf) + plane * k,
+                     static_cast<uint8_t*>(ic.buf) + plane * k,
+                     static_cast<uint8_t*>(sc.buf) + plane);
+      extract_quant(cinfo, 1, qdat + kDct2);
+      extract_quant(cinfo, 2, qdat + 2 * kDct2);
+    } else {
+      for (int i = kDct2; i < 3 * kDct2; ++i) qdat[i] = 1;
+    }
+    jpeg_finish_decompress(&cinfo);
+  }
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  Py_END_ALLOW_THREADS;
+
+  for (auto* b : bufs) PyBuffer_Release(b);
+  if (!ok) {
+    PyErr_Format(PyExc_RuntimeError, "libjpeg: %s (%s)", msg.c_str(), path);
+    return nullptr;
+  }
+  return Py_BuildValue("iiiii", info.num_components, info.height_in_blocks[0],
+                       info.width_in_blocks[0], info.height_in_blocks[1],
+                       info.width_in_blocks[1]);
+}
+
 // --- write_coefficients(path, img_h, img_w, quant_buf, y_buf, y_hb, y_wb,
 //                        c_buf|None, c_hb, c_wb) ------------------------------
 PyObject* py_write_coefficients(PyObject*, PyObject* args) {
@@ -802,6 +957,8 @@ PyMethodDef methods[] = {
      "Entropy-decode DCT coefficients from a JPEG file."},
     {"read_into_canvas", py_read_into_canvas, METH_VARARGS,
      "Entropy-decode DCT coefficients into preallocated int16 canvases."},
+    {"read_into_packed", py_read_into_packed, METH_VARARGS,
+     "Entropy-decode + sparse top-K pack into int8/uint8 canvases."},
     {"write_coefficients", py_write_coefficients, METH_VARARGS,
      "Write DCT coefficients to a JPEG file."},
     {"quantize_at_quality", py_quantize_at_quality, METH_VARARGS,

@@ -19,7 +19,7 @@ import numpy as np
 
 from rgbnomore_tpu.augment.pipeline import make_eval_pipeline, make_train_pipeline
 from rgbnomore_tpu.data.index import load_index, split_train_minival
-from rgbnomore_tpu.data.loader import DctCanvasLoader
+from rgbnomore_tpu.data.loader import DctCanvasLoader, DctPackedLoader, RgbCanvasLoader
 from rgbnomore_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
 from rgbnomore_tpu.train import checkpoint as ckpt
 from rgbnomore_tpu.train.config import Config, build_model, example_inputs, update_runtime
@@ -70,14 +70,8 @@ def tensorboard_dir(savepath: str, cfg: Config) -> Path:
 class Trainer:
     """Owns mesh, model, state and the jitted step functions for one config."""
 
-    def __init__(self, cfg: Config, devices=None, seed: int | None = None, canvas: int = 64):
-        if cfg.model.domain != "DCT":
-            # The RGB domain trains through the RGB device pipeline; see
-            # rgbnomore_tpu/augment/rgb.py once the RGB path is wired in.
-            raise NotImplementedError(
-                "Trainer currently supports the DCT domain; RGB lands with the "
-                "device-side RGB augmentation pipeline"
-            )
+    def __init__(self, cfg: Config, devices=None, seed: int | None = None, canvas: int = 64,
+                 transfer: str = "packed"):
         self.cfg = update_runtime(cfg, len(devices or jax.devices()))
         self.mesh = make_mesh(devices)
         self.n_devices = len(self.mesh.devices.ravel())
@@ -86,8 +80,21 @@ class Trainer:
 
         self.model = build_model(cfg)
         self.canvas = canvas
-        self.train_pipe = make_train_pipeline(cfg, canvas=canvas)
-        self.eval_pipe = make_eval_pipeline(cfg, canvas=canvas)
+        self.domain = cfg.model.domain
+        if self.domain == "RGB":
+            transfer = "dense"  # pixel canvases; no packed form for RGB
+        assert transfer in ("packed", "dense"), transfer
+        self.transfer = transfer
+        packed = transfer == "packed"
+        if self.domain == "DCT":
+            self.train_pipe = make_train_pipeline(cfg, canvas=canvas, packed=packed)
+            self.eval_pipe = make_eval_pipeline(cfg, canvas=canvas, packed=packed)
+        else:
+            from rgbnomore_tpu.augment.rgb import make_rgb_eval_pipeline, make_rgb_train_pipeline
+
+            rgb_canvas = canvas if canvas != 64 else 512  # canvas is pixels for RGB
+            self.train_pipe = make_rgb_train_pipeline(cfg, canvas=rgb_canvas)
+            self.eval_pipe = make_rgb_eval_pipeline(cfg, canvas=rgb_canvas)
         self._train_step_inner = None
         self._eval_step_inner = make_eval_step(self.model)
         self.state = None
@@ -128,18 +135,30 @@ class Trainer:
         use_mixup = self.cfg.model.mixup
         alpha = self.cfg.train.mixup_alpha
 
+        packed = self.transfer == "packed"
+        rgb = self.domain == "RGB"
+
         def step(state, batch, rng):
             step_rng = jax.random.fold_in(rng, state.step)
             k_aug, k_mix, k_drop = jax.random.split(step_rng, 3)
-            y, c = pipe(k_aug, batch["y"], batch["cbcr"], batch["quant"])
-            if use_mixup:
-                (y, c), targets = mixup_batch(k_mix, (y, c), batch["labels"], num_classes, alpha)
+            if rgb:
+                inputs = (pipe(k_aug, batch["pixels"]),)
+                labels = batch["labels"]
+            elif packed:
+                y, c, labels, _ = pipe(k_aug, batch["packed"])
+                inputs = (y, c)
             else:
-                targets = jax.nn.one_hot(batch["labels"], num_classes, dtype=jnp.float32)
+                y, c = pipe(k_aug, batch["y"], batch["cbcr"], batch["quant"])
+                labels = batch["labels"]
+                inputs = (y, c)
+            if use_mixup:
+                inputs, targets = mixup_batch(k_mix, inputs, labels, num_classes, alpha)
+            else:
+                targets = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
 
             def loss_fn(params):
                 logits = model.apply(
-                    {"params": params}, y, c, train=True, rngs={"dropout": k_drop}
+                    {"params": params}, *inputs, train=True, rngs={"dropout": k_drop}
                 )
                 return softmax_cross_entropy(logits, targets)
 
@@ -152,13 +171,23 @@ class Trainer:
     def _fused_eval_step(self):
         pipe = self.eval_pipe
         model = self.model
+        packed = self.transfer == "packed"
+
+        rgb = self.domain == "RGB"
 
         def step(params, batch):
-            y, c = pipe(batch["y"], batch["cbcr"], batch["quant"])
-            logits = model.apply({"params": params}, y, c, train=False).astype(jnp.float32)
+            if rgb:
+                inputs = (pipe(batch["pixels"]),)
+                labels, w = batch["labels"], batch["weights"]
+            elif packed:
+                y, c, labels, w = pipe(batch["packed"])
+                inputs = (y, c)
+            else:
+                y, c = pipe(batch["y"], batch["cbcr"], batch["quant"])
+                labels, w = batch["labels"], batch["weights"]
+                inputs = (y, c)
+            logits = model.apply({"params": params}, *inputs, train=False).astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1)
-            labels = batch["labels"]
-            w = batch["weights"]
             per_ex = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
             pred = jnp.argmax(logits, axis=-1)
             return {
@@ -170,6 +199,9 @@ class Trainer:
         return jax.jit(step)
 
     def put_batch(self, batch: dict) -> dict:
+        if self.transfer == "packed":
+            # one transfer: everything (incl. labels/weights) rides in 'packed'
+            return {"packed": jax.device_put(batch["packed"], self._bs)}
         return {k: jax.device_put(v, self._bs) for k, v in batch.items()}
 
     # ------------------------------------------------------------------ eval
@@ -182,7 +214,8 @@ class Trainer:
 
 
 def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int = 64,
-                 num_threads: int = 4, global_batch: int | None = None):
+                 num_threads: int = 4, global_batch: int | None = None,
+                 transfer: str = "packed"):
     """Build train / minival / trainval / test loaders (``datasets.py:445-582``)."""
     train_all = load_index(index_train)
     test_ds = load_index(index_val)
@@ -190,10 +223,18 @@ def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int =
         train_all, split=cfg.train.split, seed=cfg.seed
     )
     bsz = global_batch or cfg.train.batch_size
-    mk = lambda ds, shuffle, drop: DctCanvasLoader(
-        ds, bsz, canvas=canvas, shuffle=shuffle, drop_last=drop, seed=cfg.seed,
-        num_threads=num_threads,
-    )
+    if cfg.model.domain == "RGB":
+        rgb_canvas = canvas if canvas != 64 else 512
+        mk = lambda ds, shuffle, drop: RgbCanvasLoader(
+            ds, bsz, image_size=rgb_canvas, shuffle=shuffle, drop_last=drop,
+            seed=cfg.seed, num_threads=num_threads,
+        )
+    else:
+        cls = DctPackedLoader if transfer == "packed" else DctCanvasLoader
+        mk = lambda ds, shuffle, drop: cls(
+            ds, bsz, canvas=canvas, shuffle=shuffle, drop_last=drop, seed=cfg.seed,
+            num_threads=num_threads,
+        )
     return {
         "train": mk(train_ds, True, True),
         "minival": mk(minival_ds, False, False),
@@ -229,13 +270,14 @@ def train_and_eval(
     canvas: int = 64,
     num_threads: int = 4,
     max_steps_per_epoch: int | None = None,
+    transfer: str = "packed",
 ) -> dict:
     """Main train/eval flow (reference ``train.py:traineval``).  Returns final
     metrics."""
-    trainer = Trainer(cfg, canvas=canvas)
+    trainer = Trainer(cfg, canvas=canvas, transfer=transfer)
     loaders = make_loaders(
         cfg, index_train, index_val, canvas=canvas, num_threads=num_threads,
-        global_batch=trainer.global_batch(),
+        global_batch=trainer.global_batch(), transfer=transfer,
     )
     steps_per_epoch = len(loaders["train"])
     if max_steps_per_epoch:

@@ -67,6 +67,12 @@ def parse_args():
 
 
 def main():
+    import jax
+
+    # persistent compilation cache: first compile is slow, later runs reuse it
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     logging.basicConfig(
         format="[%(asctime)s] %(levelname)s: %(message)s",
         datefmt="%m/%d/%Y %H:%M:%S",
