@@ -163,7 +163,7 @@ class PatchEmbeddingDCTSeparate(nn.Module):
             for i in range(cbcr.shape[3])
         ]
         feats = jnp.concatenate(youts + couts, axis=-1)
-        feats = nn.gelu(feats)
+        feats = nn.gelu(feats, approximate=False)
         feats = nn.Dense(
             self.emb_size, kernel_init=torch_linear_init, dtype=self.dtype, name="linear_mix"
         )(feats)
@@ -207,7 +207,7 @@ class PatchEmbeddingDCTSeparateSubblock(nn.Module):
             self.emb_size // 6 * 2, kernel_init=torch_linear_init, dtype=self.dtype, name="projection_c"
         )(cbcr)
         feats = jnp.concatenate([y, cbcr], axis=-1)
-        feats = nn.gelu(feats)
+        feats = nn.gelu(feats, approximate=False)
         residual = feats
         feats = nn.Dense(
             self.emb_size, kernel_init=torch_linear_init, dtype=self.dtype, name="linear_mix"

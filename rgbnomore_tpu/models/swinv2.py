@@ -208,7 +208,7 @@ class SwinBlock(nn.Module):
         shortcut = x
         hdim = int(self.dim * self.mlp_ratio)
         y = nn.Dense(hdim, kernel_init=trunc_init, dtype=self.dtype, name="mlp1")(x)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         if self.drop > 0:
             y = nn.Dropout(self.drop)(y, deterministic=deterministic)
         y = nn.Dense(self.dim, kernel_init=trunc_init, dtype=self.dtype, name="mlp2")(y)

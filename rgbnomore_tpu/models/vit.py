@@ -88,7 +88,7 @@ class EncoderBlock(nn.Module):
             dtype=self.dtype,
             name="mlp1",
         )(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         if self.forward_drop_p > 0:
             h = nn.Dropout(self.forward_drop_p)(h, deterministic=deterministic)
         h = nn.Dense(self.emb_size, kernel_init=torch_linear_init, dtype=self.dtype, name="mlp2")(h)
