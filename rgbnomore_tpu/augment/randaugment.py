@@ -101,10 +101,15 @@ def _make_op(name: str, mag: float, signed: bool, pad: float) -> Callable:
             return _clamp_pair(y2, c2)
         if name in ("TranslateX", "TranslateY"):
             direction = "W" if name == "TranslateX" else "H"
-            t = jnp.asarray(int(mag - (mag % 2)), jnp.int32) * jnp.asarray(sign, jnp.int32)
-            return _clamp_pair(
-                ph.translate_dct(y, t, direction), ph.translate_dct(c, t // 2, direction)
-            )
+            t = int(mag - (mag % 2))
+            if t == 0:
+                return y, c
+            # magnitude is static and only the sign is random: two static-shift
+            # branches compile to cheap slice+pad instead of dynamic gathers
+            f = lambda s: (ph.translate_dct(y, s, direction),
+                           ph.translate_dct(c, s // 2, direction))
+            y2, c2 = jax.lax.cond(sign > 0, lambda: f(t), lambda: f(-t))
+            return _clamp_pair(y2, c2)
         if name == "Brightness":
             return _clamp_pair(ph.brightness_dct(y, 1.0 + m), c)
         if name == "Color":
