@@ -151,6 +151,26 @@ def shear_dft_2d_spatial(dft: jax.Array, deg_x: float = 0.0, deg_y: float = 0.0)
     return jnp.fft.ifftshift(sh_re + 1j * sh_im, axes=(-2, -1))
 
 
+def _tukey_window(n: int, alpha: float = 0.4) -> jax.Array:
+    """Tukey (tapered cosine) window, scipy.signal.windows.tukey semantics."""
+    x = jnp.linspace(0.0, 1.0, n)
+    w = jnp.ones((n,))
+    edge = alpha / 2.0
+    rise = 0.5 * (1.0 + jnp.cos(jnp.pi * (2.0 * x / alpha - 1.0)))
+    fall = 0.5 * (1.0 + jnp.cos(jnp.pi * (2.0 * x / alpha - 2.0 / alpha + 1.0)))
+    w = jnp.where(x < edge, rise, w)
+    return jnp.where(x >= 1.0 - edge, fall, w)
+
+
+def _apply_window(coeff: jax.Array, hp: int, wp: int, alpha: float = 0.4) -> jax.Array:
+    """Per-block-grid tukey taper (the reference's ``window=True`` option,
+    ``utils/dct_ops.py:399-403``)."""
+    win = _tukey_window(hp, alpha)[:, None] * _tukey_window(wp, alpha)[None, :]
+    shape = [1] * coeff.ndim
+    shape[-4], shape[-3] = hp, wp
+    return coeff * win.reshape(shape)
+
+
 def _pad_grid(coeff: jax.Array, pad: float | None):
     """Zero-pad the block grid by factor ``pad`` (centered); returns margins."""
     if not pad:
@@ -164,7 +184,8 @@ def _pad_grid(coeff: jax.Array, pad: float | None):
     return jnp.pad(coeff, pads), hm, wm, h, w
 
 
-def rotate_block(coeff: jax.Array, degrees: float = 45.0, pad: float | None = None) -> jax.Array:
+def rotate_block(coeff: jax.Array, degrees: float = 45.0, pad: float | None = None,
+                 window: bool = False) -> jax.Array:
     """Rotate DCT coefficients by ``degrees`` counter-clockwise.
 
     Lossless 90-degree multiples are factored out first so the lossy DFT
@@ -175,6 +196,8 @@ def rotate_block(coeff: jax.Array, degrees: float = 45.0, pad: float | None = No
     padded, hm, wm, h, w = _pad_grid(coeff, pad)
     hp, wp = padded.shape[-4], padded.shape[-3]
     kh, kw = padded.shape[-2], padded.shape[-1]
+    if window:
+        padded = _apply_window(padded, hp, wp)
 
     sign = 1.0 if degrees == 0 else degrees / abs(degrees)
     deg_remainder = sign * (abs(degrees) % 360.0)
@@ -196,7 +219,8 @@ def rotate_block(coeff: jax.Array, degrees: float = 45.0, pad: float | None = No
     return x
 
 
-def shear_block(coeff: jax.Array, deg_x: float = 0.0, deg_y: float = 0.0, pad: float | None = None) -> jax.Array:
+def shear_block(coeff: jax.Array, deg_x: float = 0.0, deg_y: float = 0.0,
+                pad: float | None = None, window: bool = False) -> jax.Array:
     """Shear DCT coefficients via the global-DFT route.
 
     Reference: ``utils/dct_ops.py:957-1013``.
@@ -204,6 +228,8 @@ def shear_block(coeff: jax.Array, deg_x: float = 0.0, deg_y: float = 0.0, pad: f
     padded, hm, wm, h, w = _pad_grid(coeff, pad)
     hp, wp = padded.shape[-4], padded.shape[-3]
     kh, kw = padded.shape[-2], padded.shape[-1]
+    if window:
+        padded = _apply_window(padded, hp, wp)
 
     x = blockshift(padded, axes=(-4, -3))
     dft = combine_blocks_dft(x)

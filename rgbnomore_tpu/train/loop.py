@@ -223,17 +223,19 @@ def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int =
         train_all, split=cfg.train.split, seed=cfg.seed
     )
     bsz = global_batch or cfg.train.batch_size
+    # multi-host: each process loads its strided shard of the index
+    shard_kw = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
     if cfg.model.domain == "RGB":
         rgb_canvas = canvas if canvas != 64 else 512
         mk = lambda ds, shuffle, drop: RgbCanvasLoader(
             ds, bsz, image_size=rgb_canvas, shuffle=shuffle, drop_last=drop,
-            seed=cfg.seed, num_threads=num_threads,
+            seed=cfg.seed, num_threads=num_threads, **shard_kw,
         )
     else:
         cls = DctPackedLoader if transfer == "packed" else DctCanvasLoader
         mk = lambda ds, shuffle, drop: cls(
             ds, bsz, canvas=canvas, shuffle=shuffle, drop_last=drop, seed=cfg.seed,
-            num_threads=num_threads,
+            num_threads=num_threads, **shard_kw,
         )
     return {
         "train": mk(train_ds, True, True),
