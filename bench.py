@@ -64,8 +64,6 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    import jax
-
     from rgbnomore_tpu.data.index import load_index
     from rgbnomore_tpu.data.loader import DctPackedLoader
     from rgbnomore_tpu.train.config import generate_config, update_runtime

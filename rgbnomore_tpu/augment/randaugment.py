@@ -20,7 +20,6 @@ Fidelity notes:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable
 
 import jax

@@ -16,10 +16,6 @@ import tarfile
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
-import numpy as np
-
-from rgbnomore_tpu import codec
-
 log = logging.getLogger(__name__)
 
 __all__ = [

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
-from einops import rearrange
 
 from rgbnomore_tpu.models.embeddings import PatchEmbeddingDCTGroup
 

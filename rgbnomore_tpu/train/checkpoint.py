@@ -10,11 +10,9 @@ continues the schedule exactly where it left off.
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint_step", "checkpoint_dir"]

@@ -26,8 +26,6 @@ from rgbnomore_tpu.train.config import Config, build_model, example_inputs, upda
 from rgbnomore_tpu.train.optim import make_optimizer
 from rgbnomore_tpu.train.steps import (
     create_train_state,
-    make_eval_step,
-    make_train_step,
     merge_eval_metrics,
     mixup_batch,
     softmax_cross_entropy,
@@ -96,7 +94,7 @@ class Trainer:
             self.train_pipe = make_rgb_train_pipeline(cfg, canvas=rgb_canvas)
             self.eval_pipe = make_rgb_eval_pipeline(cfg, canvas=rgb_canvas)
         self._train_step_inner = None
-        self._eval_step_inner = make_eval_step(self.model)
+        self._eval_step_inner = None
         self.state = None
 
         self._bs = batch_sharding(self.mesh)
@@ -286,6 +284,8 @@ def train_and_eval(
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
     trainer.create_state(steps_per_epoch)
 
+    if verbose >= 1:
+        log.info("config: %s", cfg)
     savepath = str(savepath)
     Path(savepath).resolve().parent.mkdir(parents=True, exist_ok=True)
     ckpt_dir = ckpt.checkpoint_dir(savepath, f"{cfg.model.arch}_{cfg.model.domain.lower()}")

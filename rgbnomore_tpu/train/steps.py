@@ -14,7 +14,6 @@ stay static and the weighted sums are exact (no double counting).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
