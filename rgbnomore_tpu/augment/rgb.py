@@ -155,15 +155,14 @@ def _grayscale(img):
 
 
 def _equalize_channel(ch):
-    """PIL-style histogram equalization of one uint8-valued channel."""
+    """PIL ImageOps.equalize, exactly: ``step = (total - h[255]) // 255``,
+    ``lut[i] = (step//2 + sum(h[:i])) // step`` (exclusive cumsum), identity
+    when ``step == 0``."""
     idx = jnp.clip(jnp.round(ch), 0, 255).astype(jnp.int32)
     hist = jnp.zeros((256,), jnp.float32).at[idx.reshape(-1)].add(1.0)
-    # PIL: step = (total - last_nonzero_count) // 255; lut = cumsum-based
-    nonzero = hist > 0
-    last_nz = 255 - jnp.argmax(jnp.flip(nonzero))
-    step = jnp.floor((jnp.sum(hist) - hist[last_nz]) / 255.0)
-    cdf = jnp.cumsum(hist)
-    lut = jnp.floor((cdf - hist[0] + (step // 2)) / jnp.maximum(step, 1.0))
+    step = jnp.floor((jnp.sum(hist) - hist[255]) / 255.0)
+    excl_cdf = jnp.cumsum(hist) - hist  # sum of h[:i]
+    lut = jnp.floor((step // 2 + excl_cdf) / jnp.maximum(step, 1.0))
     lut = jnp.clip(lut, 0, 255)
     out = lut[idx].astype(jnp.float32)
     return jnp.where(step == 0, ch, out)

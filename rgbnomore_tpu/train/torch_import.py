@@ -121,6 +121,71 @@ def import_vit_state_dict(
     return params
 
 
+def import_swin_state_dict(
+    state_dict: Mapping,
+    *,
+    depths=(2, 2, 6, 2),
+    pixel_space: str = "DCT",
+) -> dict:
+    """Convert a reference SwinV2 state dict (``models/swinv2.py``) to the
+    Flax tree of :class:`rgbnomore_tpu.models.SwinTransformerV2`.
+
+    The reference's fused qkv is laid out (qkv, head, dim) — the same order
+    this implementation splits — so kernels transpose without permutation.
+    Buffers (coords tables, attention masks) are recomputed at trace time and
+    skipped here.
+    """
+    sd = _strip_prefixes(state_dict)
+    params: dict = {}
+
+    pe: dict = {}
+    if pixel_space.upper() == "RGB":
+        w = _np(sd["patch_embed.proj.weight"])  # (E, C, P, P)
+        params["patch_embed"] = {
+            "kernel": w.transpose(2, 3, 1, 0),
+            "bias": _np(sd["patch_embed.proj.bias"]),
+        }
+        if "patch_embed.norm.weight" in sd:
+            params["patch_norm"] = _layernorm(sd, "patch_embed.norm")
+    else:
+        pe["projection"] = _linear(sd, "patch_embed.projection.0")
+        if "patch_embed.norm.weight" in sd:
+            pe["norm"] = _layernorm(sd, "patch_embed.norm")
+        params["patch_embed"] = pe
+
+    for i, depth in enumerate(depths):
+        for d in range(depth):
+            blk = f"layers.{i}.blocks.{d}"
+            attn = {
+                "logit_scale": _np(sd[f"{blk}.attn.logit_scale"]),
+                "qkv_kernel": _np(sd[f"{blk}.attn.qkv.weight"]).T,
+                "cpb_mlp1": _linear(sd, f"{blk}.attn.cpb_mlp.0"),
+                "cpb_mlp2": {"kernel": _np(sd[f"{blk}.attn.cpb_mlp.2.weight"]).T},
+                "proj": _linear(sd, f"{blk}.attn.proj"),
+            }
+            if f"{blk}.attn.q_bias" in sd:
+                attn["q_bias"] = _np(sd[f"{blk}.attn.q_bias"])
+                attn["v_bias"] = _np(sd[f"{blk}.attn.v_bias"])
+            params[f"layer{i}_block{d}"] = {
+                "attn": attn,
+                "norm1": _layernorm(sd, f"{blk}.norm1"),
+                "norm2": _layernorm(sd, f"{blk}.norm2"),
+                "mlp1": _linear(sd, f"{blk}.mlp.fc1"),
+                "mlp2": _linear(sd, f"{blk}.mlp.fc2"),
+            }
+        if f"layers.{i}.downsample.reduction.weight" in sd:
+            params[f"layer{i}_downsample"] = {
+                "reduction": {"kernel": _np(sd[f"layers.{i}.downsample.reduction.weight"]).T},
+                "norm": _layernorm(sd, f"layers.{i}.downsample.norm"),
+            }
+
+    params["norm"] = _layernorm(sd, "norm")
+    params["head"] = _linear(sd, "head")
+    if "absolute_pos_embed" in sd:
+        params["absolute_pos_embed"] = _np(sd["absolute_pos_embed"])
+    return params
+
+
 def load_torch_checkpoint(path: str, **kwargs) -> dict:
     """Load a reference ``.pth`` / ``.ckpt`` file and convert it.
 
