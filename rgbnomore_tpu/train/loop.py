@@ -271,10 +271,12 @@ def train_and_eval(
     num_threads: int = 4,
     max_steps_per_epoch: int | None = None,
     transfer: str = "packed",
+    num_devices: int | None = None,
 ) -> dict:
     """Main train/eval flow (reference ``train.py:traineval``).  Returns final
     metrics."""
-    trainer = Trainer(cfg, canvas=canvas, transfer=transfer)
+    devices = jax.devices()[:num_devices] if num_devices else None
+    trainer = Trainer(cfg, devices=devices, canvas=canvas, transfer=transfer)
     loaders = make_loaders(
         cfg, index_train, index_val, canvas=canvas, num_threads=num_threads,
         global_batch=trainer.global_batch(), transfer=transfer,

@@ -139,6 +139,7 @@ def main():
             verbose=args.verbose,
             num_threads=args.num_cpus,
             max_steps_per_epoch=args.max_steps_per_epoch or None,
+            num_devices=None if args.num_devices < 0 else args.num_devices,
         )
 
     if args.delete_dataset:
