@@ -59,7 +59,8 @@ def benchmark_dataloader(loader, max_iters: int) -> tuple[int, float]:
     return n_img, (time.perf_counter() - t0) if t0 else 0.0
 
 
-def benchmark_model_synthetic(cfg, iters: int, mode: str = "fbp") -> tuple[int, float]:
+def benchmark_model_synthetic(cfg, iters: int, mode: str = "fbp",
+                              n_devices: int | None = None) -> tuple[int, float]:
     """fwd+bwd ('fbp') or fwd-only FPS on synthetic DCT tensors.
 
     Shapes per the reference: Y (B,1,28,28,8,8), CbCr (B,2,14,14,8,8)
@@ -69,8 +70,9 @@ def benchmark_model_synthetic(cfg, iters: int, mode: str = "fbp") -> tuple[int, 
     from rgbnomore_tpu.train.optim import make_optimizer
     from rgbnomore_tpu.train.steps import create_train_state, make_train_step
 
-    cfg = update_runtime(cfg, jax.device_count())
-    batch = cfg.train.batch_per_device * jax.device_count()
+    n_devices = n_devices or jax.device_count()
+    cfg = update_runtime(cfg, n_devices)
+    batch = cfg.train.batch_per_device * n_devices
     nb = cfg.model.dct_blocks
     rng = np.random.default_rng(0)
     y = jnp.asarray(rng.standard_normal((batch, 1, nb, nb, 8, 8)).astype(np.float32))
@@ -138,11 +140,13 @@ def benchmark_pipeline(trainer, loader, iters: int, mode: str = "train") -> tupl
 
 
 def benchmark_model(cfg, iters: int, index_train: str, index_val: str,
-                    num_threads: int = 4, verbose: int = 1) -> dict[str, float]:
+                    num_threads: int = 4, verbose: int = 1,
+                    num_devices: int | None = None) -> dict[str, float]:
     """Run all six measurements and log FPS (``eval.py:53-181``)."""
     from rgbnomore_tpu.train.loop import Trainer, make_loaders
 
-    trainer = Trainer(cfg)
+    devices = jax.devices()[:num_devices] if num_devices else None
+    trainer = Trainer(cfg, devices=devices)
     loaders = make_loaders(cfg, index_train, index_val, num_threads=num_threads,
                            global_batch=trainer.global_batch(), transfer=trainer.transfer)
     trainer.create_state(max(1, len(loaders["train"])))
@@ -154,9 +158,9 @@ def benchmark_model(cfg, iters: int, index_train: str, index_val: str,
     n, dt = benchmark_dataloader(loaders["test"], iters)
     results["test_loader_fps"] = n / dt if dt else 0.0
 
-    n, dt = benchmark_model_synthetic(cfg, iters, "fbp")
+    n, dt = benchmark_model_synthetic(cfg, iters, "fbp", n_devices=trainer.n_devices)
     results["model_fbp_fps"] = n / dt
-    n, dt = benchmark_model_synthetic(cfg, iters, "fwd")
+    n, dt = benchmark_model_synthetic(cfg, iters, "fwd", n_devices=trainer.n_devices)
     results["model_fwd_fps"] = n / dt
 
     n, dt = benchmark_pipeline(trainer, loaders["train"], iters, "train")
@@ -164,7 +168,7 @@ def benchmark_model(cfg, iters: int, index_train: str, index_val: str,
     n, dt = benchmark_pipeline(trainer, loaders["test"], iters, "test")
     results["test_pipeline_fps"] = n / dt if dt else 0.0
 
-    n_dev = jax.device_count()
+    n_dev = trainer.n_devices
     for k, v in results.items():
         log.info("%s: %.1f img/s total (%.1f per device)", k, v, v / n_dev)
     return results

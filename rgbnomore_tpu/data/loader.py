@@ -89,6 +89,17 @@ class _BaseLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Put with stop polling so an abandoned consumer never strands
+            the producer inside a full queue (leaking thread + batches)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             produced = 0
             with ThreadPoolExecutor(self.num_threads) as pool:
@@ -99,18 +110,19 @@ class _BaseLoader:
                         if stop.is_set():
                             return
                         if total_batches is not None and produced >= total_batches:
-                            out_q.put(None)
+                            put_or_stop(None)
                             return
                         lo = b * self.batch_size
                         batch_idx = indices[lo : lo + self.batch_size]
                         try:
-                            out_q.put(self._decode_batch(pool, batch_idx))
+                            if not put_or_stop(self._decode_batch(pool, batch_idx)):
+                                return
                         except Exception as exc:  # surface decode errors
-                            out_q.put(exc)
+                            put_or_stop(exc)
                             return
                         produced += 1
                     if not cycle:
-                        out_q.put(None)
+                        put_or_stop(None)
                         return
                     self.epoch += 1  # continuous mode: advance the shuffle
 

@@ -57,6 +57,12 @@ def init_distributed(coordinator_address: str | None = None, **kwargs) -> None:
     (``pipeline_utils.py:78-88``) — afterwards, ``jax.devices()`` spans the
     whole slice and the same SPMD code runs unchanged.
     """
-    if jax.process_count() > 1 or coordinator_address is None:
+    if coordinator_address is None:
         return
-    jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+    # NOTE: must be the first JAX call in the process — do not touch any
+    # backend-initializing API (jax.devices/process_count) before this.
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+    except RuntimeError as exc:  # already initialized (e.g. by the launcher)
+        if "already" not in str(exc).lower():
+            raise

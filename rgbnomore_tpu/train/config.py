@@ -8,7 +8,6 @@ Sentinel convention for CLI overrides: ``None`` means "use preset".
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -205,8 +204,14 @@ def generate_config(
 
 
 def update_runtime(cfg: Config, num_devices: int) -> Config:
-    """Fill per-device batch (reference: BATCHPERGPU, ``pipeline_utils.py:145``)."""
-    cfg = dataclasses.replace(cfg)
+    """Fill per-device batch (reference: BATCHPERGPU, ``pipeline_utils.py:145``).
+
+    Deep-copies so the caller's config is never mutated (dataclasses.replace
+    would share the nested TrainConfig instance).
+    """
+    import copy
+
+    cfg = copy.deepcopy(cfg)
     cfg.train.batch_per_device = max(1, cfg.train.batch_size // max(1, num_devices))
     return cfg
 

@@ -196,11 +196,18 @@ class Trainer:
 
         return jax.jit(step)
 
+    def _put(self, x):
+        if jax.process_count() > 1:
+            # multi-host: every process holds only its shard of the global
+            # batch; assemble the global array from process-local data
+            return jax.make_array_from_process_local_data(self._bs, x)
+        return jax.device_put(x, self._bs)
+
     def put_batch(self, batch: dict) -> dict:
         if self.transfer == "packed":
             # one transfer: everything (incl. labels/weights) rides in 'packed'
-            return {"packed": jax.device_put(batch["packed"], self._bs)}
-        return {k: jax.device_put(v, self._bs) for k, v in batch.items()}
+            return {"packed": self._put(batch["packed"])}
+        return {k: self._put(v) for k, v in batch.items()}
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, loader) -> dict:
@@ -220,8 +227,9 @@ def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int =
     train_ds, minival_ds, trainval_ds = split_train_minival(
         train_all, split=cfg.train.split, seed=cfg.seed
     )
-    bsz = global_batch or cfg.train.batch_size
-    # multi-host: each process loads its strided shard of the index
+    # multi-host: each process loads its strided index shard AND only its
+    # 1/P slice of every global batch (assembled in Trainer._put)
+    bsz = (global_batch or cfg.train.batch_size) // jax.process_count()
     shard_kw = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
     if cfg.model.domain == "RGB":
         rgb_canvas = canvas if canvas != 64 else 512
@@ -314,16 +322,19 @@ def train_and_eval(
                     break
                 trainer.state, metrics = step_fn(trainer.state, trainer.put_batch(batch), base_rng)
                 n_img += int(batch["weights"].sum())
-                running = window.put(float(metrics["loss"]), returnval=True)
-                it = int(trainer.state.step)
-                if it % 50 == 0:
+                # fetch the loss scalar only at the logging cadence — a
+                # per-step device->host read would serialize transfer with
+                # compute (the dominant cost on thin links)
+                if verbose >= 2 or i % 50 == 0 or i + 1 == len(loaders["train"]):
+                    running = window.put(float(metrics["loss"]), returnval=True)
+                    it = int(trainer.state.step)
                     writer.scalar("Loss/Peritr_Train", running, it)
-                if verbose >= 2:
-                    print(
-                        f"\r[Epoch {epoch + 1}/{cfg.train.epochs} It {i + 1}] "
-                        f"loss {running:.4f} lr {float(trainer.schedule(it)):.3e}",
-                        end="", flush=True,
-                    )
+                    if verbose >= 2:
+                        print(
+                            f"\r[Epoch {epoch + 1}/{cfg.train.epochs} It {i + 1}] "
+                            f"loss {running:.4f} lr {float(trainer.schedule(it)):.3e}",
+                            end="", flush=True,
+                        )
             dt = time.time() - t0
             val = trainer.evaluate(loaders["minival"])
             tval = trainer.evaluate(loaders["trainval"])

@@ -121,7 +121,8 @@ def main():
         from rgbnomore_tpu.benchmark import benchmark_model
 
         benchmark_model(cfg, args.benchmark, index_train, index_val,
-                        num_threads=args.num_cpus, verbose=args.verbose)
+                        num_threads=args.num_cpus, verbose=args.verbose,
+                        num_devices=None if args.num_devices < 0 else args.num_devices)
         return
 
     if args.train or args.eval:
