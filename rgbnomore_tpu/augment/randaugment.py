@@ -100,14 +100,16 @@ def _make_op(name: str, mag: float, signed: bool, pad: float) -> Callable:
             return _clamp_pair(y2, c2)
         if name in ("TranslateX", "TranslateY"):
             direction = "W" if name == "TranslateX" else "H"
-            t = int(mag - (mag % 2))
-            if t == 0:
+            # the reference applies the sign BEFORE evenizing with float
+            # modulo (custom_transforms.py:958), so +3.75 -> +2 blocks but
+            # -3.75 -> -4 blocks; both static-shift branches replicate that
+            t_pos = int(mag - (mag % 2))
+            t_neg = int(-mag - ((-mag) % 2))
+            if t_pos == 0 and t_neg == 0:
                 return y, c
-            # magnitude is static and only the sign is random: two static-shift
-            # branches compile to cheap slice+pad instead of dynamic gathers
             f = lambda s: (ph.translate_dct(y, s, direction),
                            ph.translate_dct(c, s // 2, direction))
-            y2, c2 = jax.lax.cond(sign > 0, lambda: f(t), lambda: f(-t))
+            y2, c2 = jax.lax.cond(sign > 0, lambda: f(t_pos), lambda: f(t_neg))
             return _clamp_pair(y2, c2)
         if name == "Brightness":
             return _clamp_pair(ph.brightness_dct(y, 1.0 + m), c)

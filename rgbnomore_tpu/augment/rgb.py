@@ -155,17 +155,21 @@ def _grayscale(img):
 
 
 def _equalize_channel(ch):
-    """PIL ImageOps.equalize, exactly: ``step = (total - h[255]) // 255``,
-    ``lut[i] = (step//2 + sum(h[:i])) // step`` (exclusive cumsum), identity
-    when ``step == 0``."""
+    """PIL ImageOps.equalize, exactly: ``step = (total - count_of_last_
+    NONZERO_bin) // 255``, ``lut[i] = (step//2 + sum(h[:i])) // step``
+    (exclusive cumsum); identity when the channel has <= 1 distinct value or
+    ``step == 0``."""
     idx = jnp.clip(jnp.round(ch), 0, 255).astype(jnp.int32)
     hist = jnp.zeros((256,), jnp.float32).at[idx.reshape(-1)].add(1.0)
-    step = jnp.floor((jnp.sum(hist) - hist[255]) / 255.0)
+    nonzero = hist > 0
+    last_nz = 255 - jnp.argmax(jnp.flip(nonzero))
+    step = jnp.floor((jnp.sum(hist) - hist[last_nz]) / 255.0)
     excl_cdf = jnp.cumsum(hist) - hist  # sum of h[:i]
     lut = jnp.floor((step // 2 + excl_cdf) / jnp.maximum(step, 1.0))
     lut = jnp.clip(lut, 0, 255)
     out = lut[idx].astype(jnp.float32)
-    return jnp.where(step == 0, ch, out)
+    identity = (jnp.sum(nonzero) <= 1) | (step == 0)
+    return jnp.where(identity, ch, out)
 
 
 def _smooth(img):
@@ -186,24 +190,24 @@ def _smooth(img):
     return jnp.where(interior, sm, img)
 
 
-def _translate(img, t, axis):
+def _translate(img, t, axis, fill=0.0):
     out = jnp.roll(img, t, axis=axis)
     n = img.shape[axis]
     idx_shape = [1] * img.ndim
     idx_shape[axis] = n
     idx = jnp.arange(n).reshape(idx_shape)
     keep = jnp.where(t >= 0, idx >= t, idx < n + t)
-    return jnp.where(keep, out, 0.0)
+    return jnp.where(keep, out, fill)
 
 
-def _cutout(img, pad_size, ch, cw):
+def _cutout(img, pad_size, ch, cw, fill=128.0):
     h, w = img.shape[-2:]
     rows = jnp.arange(h)
     cols = jnp.arange(w)
     hole = ((rows >= ch - pad_size) & (rows < ch + pad_size))[:, None] & (
         (cols >= cw - pad_size) & (cols < cw + pad_size)
     )[None, :]
-    return jnp.where(hole, 128.0, img)  # reference fills 128 for swin, 0 otherwise
+    return jnp.where(hole, fill, img)
 
 
 def _rgb_magnitude_table(num_bins: int, hw: tuple[int, int]):
@@ -256,7 +260,7 @@ def _make_rgb_op(name: str, mag: float, signed: bool, fill: float):
         if name == "Rotate" or name == "Rotate90":
             if mag == 0.0:
                 return img
-            f = lambda d: rotate_image(img, d, interpolation="nearest")
+            f = lambda d: rotate_image(img, d, interpolation="nearest", fill=fill)
             return jax.lax.cond(sign > 0, lambda: f(mag), lambda: f(-mag))
         if name == "Posterize":
             bits = int(mag)
@@ -280,17 +284,17 @@ def _make_rgb_op(name: str, mag: float, signed: bool, fill: float):
                 return img
             deg = float(np.degrees(np.arctan(mag)))
             dx = name == "ShearX"
-            f = lambda d: shear_image(img, deg_x=d if dx else 0.0, deg_y=0.0 if dx else d)
+            f = lambda d: shear_image(img, deg_x=d if dx else 0.0, deg_y=0.0 if dx else d, fill=fill)
             return jax.lax.cond(sign > 0, lambda: f(deg), lambda: f(-deg))
         if name in ("TranslateX", "TranslateY"):
             t = jnp.asarray(int(mag), jnp.int32) * jnp.asarray(sign, jnp.int32)
-            return _translate(img, t, axis=2 if name == "TranslateX" else 1)
+            return _translate(img, t, axis=2 if name == "TranslateX" else 1, fill=fill)
         if name == "Cutout":
             h, w = img.shape[-2:]
             kh, kw = jax.random.split(rng)
             ch = jax.random.randint(kh, (), 0, h)
             cw = jax.random.randint(kw, (), 0, w)
-            return _cutout(img, int(mag), ch, cw)
+            return _cutout(img, int(mag), ch, cw, fill=fill)
         if name == "Grayscale":
             return _grayscale(img)
         if name == "ChromaDrop":
@@ -370,21 +374,19 @@ def make_rgb_train_pipeline(
     auglist: list[str] | None = None,
     num_ops: int = 2,
     magnitude: int = 10,
-    fill: float = 0.0,
+    fill: float = 128.0,
     out_dtype=jnp.float32,
 ):
     """RandomResizedCrop -> HFlip -> RandAugment -> ToTensor_range(-1, 1).
 
-    Mirrors the ``imagenet`` train chain (``datasets.py:317-323``); swin uses
-    ``size=256`` and ``fill=128`` (``datasets.py:338-341``).
+    Mirrors the ``imagenet``/``imagenet_swin`` train chains
+    (``datasets.py:317-343``); both pass ``fill=128`` to RandAugment.
     """
     if cfg is not None:
         size = cfg.model.input_size
         auglist = list(cfg.train.auglist)
         num_ops = cfg.train.num_ops
         magnitude = cfg.train.augstr
-        if cfg.model.arch == "swinv2":
-            fill = 128.0
     rrc = make_random_resized_crop_rgb(size, canvas)
     aug = RandAugmentRGB(
         ops_list=list(auglist or []), num_ops=num_ops, magnitude=magnitude,

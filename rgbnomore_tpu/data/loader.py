@@ -63,6 +63,11 @@ class _BaseLoader:
         """Reseed the shuffle per epoch (reference: ``sampler.set_epoch``)."""
         self.epoch = epoch
 
+    def _shard_len(self) -> int:
+        """Per-shard sample count; identical on every shard (padded)."""
+        n = len(self.dataset)
+        return (n + self.num_shards - 1) // self.num_shards
+
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
         if self.shuffle:
@@ -73,11 +78,18 @@ class _BaseLoader:
             if pad:
                 order = np.concatenate([order, order[:pad]])
             return order[self.shard_id :: self.num_shards]
-        # eval: strided rank slicing without padding (custom_sampler.py:88)
-        return np.arange(n)[self.shard_id :: self.num_shards]
+        # eval: strided rank slicing (custom_sampler.py:88), padded with -1
+        # sentinels (weight 0) so every shard runs the SAME number of batches
+        # — per-batch SPMD collectives would deadlock otherwise
+        idx = np.arange(n)[self.shard_id :: self.num_shards]
+        pad = self._shard_len() - len(idx)
+        if pad:
+            idx = np.concatenate([idx, np.full(pad, -1, idx.dtype)])
+        return idx
 
     def __len__(self) -> int:
-        n = len(self._epoch_indices())
+        """Batches per shard per epoch; cheap (no permutation materialized)."""
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -166,6 +178,8 @@ class DctCanvasLoader(_BaseLoader):
         weights = np.zeros((bsz,), np.float32)
 
         def work(slot: int, ds_index: int):
+            if ds_index < 0:  # shard-padding sentinel
+                return
             path = self.dataset.paths[ds_index]
             codec.read_into_canvas(path, y[slot], c[slot], quant[slot])
             labels[slot] = self.dataset.labels[ds_index]
@@ -242,6 +256,8 @@ class DctPackedLoader(_BaseLoader):
         weights = np.zeros((self.batch_size,), np.float32)
 
         def work(slot: int, ds_index: int):
+            if ds_index < 0:  # shard-padding sentinel
+                return
             v = row_views(buf[slot], self.layout)
             codec.read_into_packed(
                 self.dataset.paths[ds_index], self.k,
@@ -275,6 +291,8 @@ class RgbCanvasLoader(_BaseLoader):
         weights = np.zeros((bsz,), np.float32)
 
         def work(slot: int, ds_index: int):
+            if ds_index < 0:  # shard-padding sentinel
+                return
             img = codec.read_jpeg(self.dataset.paths[ds_index])
             ch, h, w = img.shape
             if ch == 1:

@@ -73,11 +73,12 @@ def inverse_affine_matrix(
     return tuple(m)
 
 
-def affine_resample(img: jax.Array, matrix, interpolation: str = "nearest") -> jax.Array:
-    """Resample ``img (..., H, W)`` through an inverse affine map, zero fill.
+def affine_resample(img: jax.Array, matrix, interpolation: str = "nearest",
+                    fill: float = 0.0) -> jax.Array:
+    """Resample ``img (..., H, W)`` through an inverse affine map.
 
     ``matrix`` is the 6-tuple from :func:`inverse_affine_matrix` in pixel-index
-    units (x = column, y = row).
+    units (x = column, y = row); out-of-bounds samples take ``fill``.
     """
     h, w = img.shape[-2], img.shape[-1]
     a, b, c, d, e, f = matrix
@@ -90,7 +91,7 @@ def affine_resample(img: jax.Array, matrix, interpolation: str = "nearest") -> j
         yc = jnp.clip(yi, 0, h - 1)
         xc = jnp.clip(xi, 0, w - 1)
         vals = img[..., yc, xc]
-        return jnp.where(inb, vals, 0.0)
+        return jnp.where(inb, vals, fill)
 
     if interpolation == "nearest":
         # grid_sample 'nearest' truncates after a half-pixel shift equivalent
@@ -115,20 +116,22 @@ def affine_resample(img: jax.Array, matrix, interpolation: str = "nearest") -> j
     raise ValueError(f"Unknown interpolation: {interpolation}")
 
 
-def rotate_image(img: jax.Array, degrees: float, interpolation: str = "nearest") -> jax.Array:
+def rotate_image(img: jax.Array, degrees: float, interpolation: str = "nearest",
+                 fill: float = 0.0) -> jax.Array:
     """Counter-clockwise rotation about the image center (torchvision ``rotate``)."""
     h, w = img.shape[-2], img.shape[-1]
     center = ((w - 1) * 0.5, (h - 1) * 0.5)
     m = inverse_affine_matrix(-degrees, center=center)
-    return affine_resample(img, m, interpolation)
+    return affine_resample(img, m, interpolation, fill)
 
 
-def shear_image(img: jax.Array, deg_x: float = 0.0, deg_y: float = 0.0, interpolation: str = "nearest") -> jax.Array:
+def shear_image(img: jax.Array, deg_x: float = 0.0, deg_y: float = 0.0,
+                interpolation: str = "nearest", fill: float = 0.0) -> jax.Array:
     """Shear about the image center (torchvision ``affine(shear=[x, y])``)."""
     h, w = img.shape[-2], img.shape[-1]
     center = ((w - 1) * 0.5, (h - 1) * 0.5)
     m = inverse_affine_matrix(0.0, shear=(deg_x, deg_y), center=center)
-    return affine_resample(img, m, interpolation)
+    return affine_resample(img, m, interpolation, fill)
 
 
 def rotate_dft_2d_spatial(dft: jax.Array, degrees: float) -> jax.Array:

@@ -313,6 +313,7 @@ def train_and_eval(
         step_fn = trainer._fused_train_step()
         base_rng = jax.random.PRNGKey(cfg.seed + 1)
         window = LocalWindow(100)
+        n_train_batches = len(loaders["train"])
         for epoch in range(start_epoch, cfg.train.epochs):
             loaders["train"].set_epoch(epoch)
             t0 = time.time()
@@ -325,7 +326,7 @@ def train_and_eval(
                 # fetch the loss scalar only at the logging cadence — a
                 # per-step device->host read would serialize transfer with
                 # compute (the dominant cost on thin links)
-                if verbose >= 2 or i % 50 == 0 or i + 1 == len(loaders["train"]):
+                if verbose >= 2 or i % 50 == 0 or i + 1 == n_train_batches:
                     running = window.put(float(metrics["loss"]), returnval=True)
                     it = int(trainer.state.step)
                     writer.scalar("Loss/Peritr_Train", running, it)

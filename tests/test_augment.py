@@ -192,3 +192,19 @@ def test_dequantize_semantics(rng):
     y_big = jnp.asarray(np.full((1, 1, 1, 1, 8, 8), 2000, np.int16))
     y2, _ = pipeline.dequantize(y_big, c_q, quant)
     np.testing.assert_array_equal(np.asarray(y2), 1016.0)
+
+
+def test_randaug_translate_sign_asymmetry_matches_reference(rng):
+    """The reference evenizes AFTER applying the sign with float modulo
+    (custom_transforms.py:958): magnitude 3.75 gives +2 blocks or -4 blocks."""
+    y, c = _canvas_batch(rng, b=32, canvas=16)
+    # magnitude index 3 with grid 16: 150/336*16 linspace -> mag = 2.142*3/...
+    aug = RandAugmentDCT(ops_list=["TranslateX"], num_ops=1, magnitude=7, grid=28)
+    # grid=28 -> table mag at idx 7 = 150/336*28*0.7 = 8.75 -> +8 or -10
+    yo, _ = aug(jax.random.PRNGKey(3), y, c)
+    yo = np.asarray(yo)
+    widths = set()
+    for b in range(32):
+        zero_cols = int((np.abs(yo[b, 0, :, :, 0, 0]).sum(0) == 0).sum())
+        widths.add(zero_cols)
+    assert widths == {8, 10}, widths  # +8 (evenized 8.75) and -10 (evenized -8.75)

@@ -56,3 +56,21 @@ def test_posterize_matches_pil(rng):
     ref = np.asarray(ImageOps.posterize(Image.fromarray(arr, "RGB"), bits))
     out = _apply("Posterize", chw)
     np.testing.assert_allclose(out, ref.astype(np.float32), atol=0.5)
+
+
+def test_equalize_matches_pil_without_value_255(rng):
+    """PIL's step uses the count of the last NONZERO bin; an image whose max
+    value is < 255 exposes the difference."""
+    arr = (rng.integers(0, 200, (32, 32, 3)) ).astype(np.uint8)
+    arr[0, 0] = 199  # ensure max < 255 with mass at the top bin
+    ref = np.asarray(ImageOps.equalize(Image.fromarray(arr, "RGB")))
+    chw = jnp.asarray(arr.transpose(2, 0, 1).astype(np.float32))[None]
+    out = _apply("Equalize", chw)
+    assert np.abs(out - ref.astype(np.float32)).max() <= 1.5
+
+
+def test_equalize_constant_channel_is_identity():
+    arr = np.full((16, 16, 3), 77, np.uint8)
+    chw = jnp.asarray(arr.transpose(2, 0, 1).astype(np.float32))[None]
+    out = _apply("Equalize", chw)
+    np.testing.assert_array_equal(out, 77.0)

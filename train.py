@@ -46,6 +46,9 @@ def parse_args():
     p.add_argument("--savepath", type=str, default="./models/ViT_v1.msgpack")
     p.add_argument("--loadpath", type=str, default="")
     p.add_argument("--load_ckpt", type=str, default="")
+    p.add_argument("--transfer", type=str, default="packed", choices=("packed", "dense"),
+                   help="Host->device coefficient format: 'packed' (sparse top-K int8, "
+                        "~4x fewer bytes, near-lossless) or 'dense' (exact int16)")
     p.add_argument("--deterministic", action="store_true")
     p.add_argument("--verbose", type=int, default=1, help="0/1/2 logging verbosity")
     # hyperparameter overrides (-1 / '' sentinel = use preset)
@@ -141,6 +144,7 @@ def main():
             num_threads=args.num_cpus,
             max_steps_per_epoch=args.max_steps_per_epoch or None,
             num_devices=None if args.num_devices < 0 else args.num_devices,
+            transfer=args.transfer,
         )
 
     if args.delete_dataset:
