@@ -51,6 +51,11 @@ def softmax_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return -jnp.mean(jnp.sum(targets * logp, axis=-1))
 
 
+# NOTE: Trainer._fused_train_step / _fused_eval_step (train/loop.py) fuse the
+# on-device input pipeline in front of the same loss/update logic below; when
+# changing loss, rng handling or metric semantics here, mirror it there (the
+# builders below are used by the synthetic benchmarks and the multichip
+# dryrun, which must measure the same step as production).
 def make_train_step(
     model,
     num_classes: int,

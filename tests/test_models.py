@@ -156,3 +156,21 @@ def test_swin_respostnorm_starts_as_identityish(rng):
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     zeroed = [l for p, l in flat if "norm1" in str(p) and "scale" in str(p)]
     assert zeroed and all(float(jnp.abs(l).max()) == 0.0 for l in zeroed)
+
+
+def test_vit_bf16_close_to_f32(rng):
+    """bf16 compute must track f32 within mixed-precision tolerance."""
+    import jax.numpy as jnp
+
+    y = jnp.asarray(rng.standard_normal((2, 1, 8, 8, 8, 8)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((2, 2, 4, 4, 8, 8)).astype(np.float32))
+    kwargs = dict(pixel_space="DCT", ver=1, patch_size=16, emb_size=192, depth=4,
+                  num_heads=3, head_size=64, n_classes=50, drop_p=0.0)
+    m32 = ViT(dtype=jnp.float32, **kwargs)
+    m16 = ViT(dtype=jnp.bfloat16, **kwargs)
+    params = m32.init(jax.random.PRNGKey(0), y, c)
+    out32 = np.asarray(m32.apply(params, y, c))
+    out16 = np.asarray(m16.apply(params, y, c))
+    # logits agree to bf16 noise; top-1 decisions identical on clear margins
+    assert np.abs(out32 - out16).max() < 0.15
+    assert (out32.argmax(-1) == out16.argmax(-1)).all()
