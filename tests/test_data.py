@@ -135,3 +135,47 @@ def test_staging_png_masquerade(tmp_path):
     assert transcode_png_masquerade(tmp_path / "train")
     dims, quant, y, cbcr = codec.read_coefficients(str(png_path))  # now decodes
     assert y.shape == (1, 2, 2, 8, 8)
+
+
+def test_loader_early_abandon_does_not_leak_producer(mini_dataset):
+    """Breaking out of iteration must stop the producer thread promptly."""
+    import threading
+    import time
+
+    ds = load_index(mini_dataset)
+    before = threading.active_count()
+    loader = DctCanvasLoader(ds, batch_size=2, canvas=8, shuffle=False,
+                             num_threads=2, prefetch=1)
+    it = iter(loader)
+    next(it)  # take one batch, abandon the rest
+    it.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1  # pool teardown may lag briefly
+
+
+def test_iter_cycle_spans_epochs(mini_dataset):
+    ds = load_index(mini_dataset)
+    loader = DctCanvasLoader(ds, batch_size=6, canvas=8, shuffle=True, seed=3,
+                             drop_last=True, num_threads=2)
+    batches = list(loader.iter_cycle(5))  # 2 batches/epoch -> 2.5 epochs
+    assert len(batches) == 5
+    labels = np.concatenate([b["labels"] for b in batches])
+    assert len(labels) == 30
+
+
+def test_eval_shards_have_equal_batch_counts(mini_dataset):
+    """Uneven strided shards are padded so all shards run the same number of
+    batches (multi-host collectives would deadlock otherwise)."""
+    ds = load_index(mini_dataset)  # 12 samples
+    loaders = [
+        DctCanvasLoader(ds, batch_size=2, canvas=8, shuffle=False,
+                        shard_id=s, num_shards=5, num_threads=1)
+        for s in range(5)
+    ]
+    counts = [len(list(l)) for l in loaders]
+    assert len(set(counts)) == 1, counts
+    # weighted totals still count every sample exactly once
+    total = sum(float(b["weights"].sum()) for l in loaders for b in l)
+    assert total == 12.0
