@@ -82,27 +82,38 @@ def benchmark_model_synthetic(cfg, iters: int, mode: str = "fbp",
     model = build_model(cfg)
     iters = max(iters, 300)
 
+    # NOTE: timing reads back a scalar every `chunk` steps — through remote
+    # relays, block_until_ready alone can acknowledge before execution
+    # completes (see BENCHMARKS.md), so a value readback is the only honest
+    # sync; chunking amortizes its round trip.
+    chunk = 25
     if mode == "fbp":
         tx, _ = make_optimizer(cfg.train.lr, cfg.train.wd, 100, iters)
         state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), (y, c))
         step = make_train_step(model, cfg.model.classes, use_mixup=False)
         base = jax.random.PRNGKey(1)
-        state, _ = step(state, ((y, c), labels), base)  # compile, excluded
-        jax.block_until_ready(state.params)
+        state, metrics = step(state, ((y, c), labels), base)  # compile, excluded
+        _ = float(metrics["loss"])
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, metrics = step(state, ((y, c), labels), base)
-        jax.block_until_ready(state.params)
+        done = 0
+        while done < iters:
+            for _ in range(min(chunk, iters - done)):
+                state, metrics = step(state, ((y, c), labels), base)
+                done += 1
+            _ = float(metrics["loss"])
         dt = time.perf_counter() - t0
     else:
         params = model.init(jax.random.PRNGKey(0), y, c)
         fwd = jax.jit(lambda p, a, b: model.apply(p, a, b))
         out = fwd(params, y, c)
-        jax.block_until_ready(out)
+        _ = float(out[0, 0])
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(params, y, c)
-        jax.block_until_ready(out)
+        done = 0
+        while done < iters:
+            for _ in range(min(chunk, iters - done)):
+                out = fwd(params, y, c)
+                done += 1
+            _ = float(out[0, 0])
         dt = time.perf_counter() - t0
     return batch * iters, dt
 
