@@ -27,13 +27,16 @@ __all__ = [
     "dequantize",
     "split_packed_batch",
     "unpack_coefficients",
+    "unpack_coefficients_mask",
     "to_range",
     "make_train_pipeline",
     "make_eval_pipeline",
 ]
 
 
-def split_packed_batch(packed: jax.Array, canvas: int, k: int) -> dict[str, jax.Array]:
+def split_packed_batch(
+    packed: jax.Array, canvas: int, k: int, fmt: str = "mask"
+) -> dict[str, jax.Array]:
     """Re-slice the consolidated (B, row) uint8 buffer into typed fields.
 
     Inverse of the host-side layout (``data.loader.packed_layout``): static
@@ -43,7 +46,7 @@ def split_packed_batch(packed: jax.Array, canvas: int, k: int) -> dict[str, jax.
 
     from rgbnomore_tpu.data.loader import packed_layout
 
-    layout = packed_layout(canvas, k)
+    layout = packed_layout(canvas, k, fmt)
     b = packed.shape[0]
     out = {}
     for name, spec in layout.items():
@@ -75,6 +78,30 @@ def unpack_coefficients(values: jax.Array, indices: jax.Array, scales: jax.Array
     slots = jnp.arange(64, dtype=jnp.int32)
     hit = indices.astype(jnp.int32)[..., None] == slots  # (..., K, 64)
     dense = jnp.sum(vals[..., None] * hit, axis=-2)  # (..., 64)
+    return dense.reshape(dense.shape[:-1] + (8, 8))
+
+
+def unpack_coefficients_mask(
+    values: jax.Array, mask: jax.Array, scales: jax.Array
+) -> jax.Array:
+    """Decompress bitmask-packed blocks to dense quantized coefficients.
+
+    ``values`` (..., H, W, K) int8 in ascending-position order, ``mask``
+    (..., H, W, 8) uint8 little-endian occupancy bits (bit ``p & 7`` of byte
+    ``p >> 3`` <=> position ``p`` kept), ``scales`` (..., H, W) uint8.  The
+    value for set position ``p`` sits at rank = popcount(mask below p), an
+    exclusive prefix-sum of the bits; the rank->value lookup is the same
+    compare-and-reduce as :func:`unpack_coefficients` (no scatter/gather).
+    Returns (..., H, W, 8, 8) float32.
+    """
+    k = values.shape[-1]
+    bit_sel = jnp.left_shift(jnp.ones((), jnp.uint8), jnp.arange(8, dtype=jnp.uint8))
+    bits = (mask[..., None] & bit_sel) != 0  # (..., 8, 8) bytes x bits
+    bits = bits.reshape(bits.shape[:-2] + (64,)).astype(jnp.int32)
+    ranks = jnp.cumsum(bits, axis=-1) - bits  # exclusive prefix sum, (..., 64)
+    vals = values.astype(jnp.float32) * scales[..., None].astype(jnp.float32)
+    hit = ranks[..., None] == jnp.arange(k, dtype=jnp.int32)  # (..., 64, K)
+    dense = jnp.sum(vals[..., None, :] * hit, axis=-1) * bits.astype(jnp.float32)
     return dense.reshape(dense.shape[:-1] + (8, 8))
 
 
@@ -124,6 +151,7 @@ def make_train_pipeline(
     magnitude: int = 3,
     out_dtype=jnp.float32,
     packed: bool = False,
+    packed_fmt: str = "mask",
 ) -> Callable:
     """Build the jitted train input pipeline.
 
@@ -152,11 +180,12 @@ def make_train_pipeline(
         return to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype)
 
     if packed:
+        unpack = unpack_coefficients_mask if packed_fmt == "mask" else unpack_coefficients
 
         def pipeline(rng, packed_buf, k: int = 16):
-            f = split_packed_batch(packed_buf, canvas, k)
-            y = unpack_coefficients(f["vy"], f["iy"], f["sy"])
-            c = unpack_coefficients(f["vc"], f["ic"], f["sc"])
+            f = split_packed_batch(packed_buf, canvas, k, packed_fmt)
+            y = unpack(f["vy"], f["iy"], f["sy"])
+            c = unpack(f["vc"], f["ic"], f["sc"])
             out_y, out_c = tail(rng, y, c, f["quant"])
             return out_y, out_c, f["labels"], f["weights"]
 
@@ -173,6 +202,7 @@ def make_eval_pipeline(
     swin: bool = False,
     out_dtype=jnp.float32,
     packed: bool = False,
+    packed_fmt: str = "mask",
 ) -> Callable:
     """Build the jitted eval pipeline (dense ``fn(y_q, c_q, quant)`` or packed
     ``fn(batch)``).
@@ -194,11 +224,12 @@ def make_eval_pipeline(
         return to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype)
 
     if packed:
+        unpack = unpack_coefficients_mask if packed_fmt == "mask" else unpack_coefficients
 
         def pipeline(packed_buf, k: int = 16):
-            f = split_packed_batch(packed_buf, canvas, k)
-            y = unpack_coefficients(f["vy"], f["iy"], f["sy"])
-            c = unpack_coefficients(f["vc"], f["ic"], f["sc"])
+            f = split_packed_batch(packed_buf, canvas, k, packed_fmt)
+            y = unpack(f["vy"], f["iy"], f["sy"])
+            c = unpack(f["vc"], f["ic"], f["sc"])
             out_y, out_c = tail(y, c, f["quant"])
             return out_y, out_c, f["labels"], f["weights"]
 

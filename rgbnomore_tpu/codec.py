@@ -33,6 +33,7 @@ __all__ = [
     "read_coefficients",
     "read_into_canvas",
     "read_into_packed",
+    "read_into_packed_mask",
     "write_coefficients",
     "quantize_at_quality",
     "write_tensor",
@@ -111,6 +112,30 @@ def read_into_packed(
     ch_c, cw_c = vc.shape[-3], vc.shape[-2]
     return _dctcodec.read_into_packed(
         str(path), k, vy, iy, sy, yh_c, yw_c, vc, ic, sc, ch_c, cw_c, quant_out
+    )
+
+
+def read_into_packed_mask(
+    path: str,
+    k: int,
+    vy: np.ndarray, my: np.ndarray, sy: np.ndarray,
+    vc: np.ndarray, mc: np.ndarray, sc: np.ndarray,
+    quant_out: np.ndarray,
+):
+    """Top-K pack with occupancy bitmasks: the tightest lossless-vs-index wire
+    format (25 B/block at K=16 vs 33 for ``read_into_packed``).
+
+    Per block: ``my/mc`` hold an 8-byte little-endian mask (bit ``p & 7`` of
+    byte ``p >> 3`` set <=> coefficient position ``p`` kept) and ``vy/vc`` hold
+    the kept values int8-quantized as in :func:`read_into_packed` but in
+    ASCENDING POSITION order (the device reconstructs positions from the mask
+    via a prefix-sum).  Shapes: ``vy`` (1, YH, YW, K) int8, ``my`` (1, YH, YW,
+    8) uint8, ``sy`` (1, YH, YW) uint8; chroma likewise with a leading 2.
+    """
+    yh_c, yw_c = vy.shape[-3], vy.shape[-2]
+    ch_c, cw_c = vc.shape[-3], vc.shape[-2]
+    return _dctcodec.read_into_packed_mask(
+        str(path), k, vy, my, sy, yh_c, yw_c, vc, mc, sc, ch_c, cw_c, quant_out
     )
 
 

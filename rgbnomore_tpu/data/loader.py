@@ -189,7 +189,7 @@ class DctCanvasLoader(_BaseLoader):
         return {"y": y, "cbcr": c, "quant": quant, "labels": labels, "weights": weights}
 
 
-def packed_layout(canvas: int, k: int) -> dict:
+def packed_layout(canvas: int, k: int, fmt: str = "mask") -> dict:
     """Per-SAMPLE byte layout of the consolidated packed row.
 
     All per-sample fields live in one uint8 row so a whole batch transfers as
@@ -197,14 +197,21 @@ def packed_layout(canvas: int, k: int) -> dict:
     device_put call — per-transfer overhead through thin links is
     significant).  Returns field -> (byte_offset, per-sample shape, dtype)
     plus ``"row"`` -> row bytes.
+
+    ``fmt="mask"`` (default): positions ride in an 8-byte/block occupancy
+    bitmask (``iy``/``ic`` shaped (..., 8)) — 25 B/block at K=16.
+    ``fmt="index"``: one uint8 position per value (``iy``/``ic`` shaped
+    (..., K)) — 33 B/block.  Same int8-value quantization either way.
     """
+    assert fmt in ("mask", "index"), fmt
     cv2 = canvas // 2
+    iw = 8 if fmt == "mask" else k  # index bytes per block
     fields = {
         "vy": ((1, canvas, canvas, k), np.int8),
-        "iy": ((1, canvas, canvas, k), np.uint8),
+        "iy": ((1, canvas, canvas, iw), np.uint8),
         "sy": ((1, canvas, canvas), np.uint8),
         "vc": ((2, cv2, cv2, k), np.int8),
-        "ic": ((2, cv2, cv2, k), np.uint8),
+        "ic": ((2, cv2, cv2, iw), np.uint8),
         "sc": ((2, cv2, cv2), np.uint8),
         "quant": ((3, 8, 8), np.int16),
         "labels": ((), np.int32),
@@ -244,11 +251,14 @@ class DctPackedLoader(_BaseLoader):
     """
 
     def __init__(self, dataset: IndexDataset, batch_size: int, canvas: int = 64,
-                 k: int = 16, **kw):
+                 k: int = 16, fmt: str = "mask", **kw):
         super().__init__(dataset, batch_size, **kw)
         self.canvas = canvas
         self.k = k
-        self.layout = packed_layout(canvas, k)
+        self.fmt = fmt
+        self.layout = packed_layout(canvas, k, fmt)
+        self._read = (codec.read_into_packed_mask if fmt == "mask"
+                      else codec.read_into_packed)
 
     def _decode_batch(self, pool: ThreadPoolExecutor, idx: np.ndarray) -> dict:
         buf = np.zeros((self.batch_size, self.layout["row"]), np.uint8)
@@ -259,7 +269,7 @@ class DctPackedLoader(_BaseLoader):
             if ds_index < 0:  # shard-padding sentinel
                 return
             v = row_views(buf[slot], self.layout)
-            codec.read_into_packed(
+            self._read(
                 self.dataset.paths[ds_index], self.k,
                 v["vy"], v["iy"], v["sy"], v["vc"], v["ic"], v["sc"], v["quant"],
             )

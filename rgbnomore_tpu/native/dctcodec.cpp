@@ -560,25 +560,71 @@ void pack_block_topk(const int16_t* block, int k, int8_t* values, uint8_t* indic
   }
 }
 
+// Bitmask variant: positions of the kept coefficients live in an 8-byte
+// little-endian occupancy mask (bit p of byte p/8 <=> zigzag-position p kept),
+// values stored in ASCENDING POSITION order.  25 bytes/block at K=16 vs 33
+// for the (value, index) pair format — same information, ~24% fewer
+// host->device bytes.
+void pack_block_topk_mask(const int16_t* block, int k, int8_t* values,
+                          uint8_t* mask, uint8_t* scale_out) {
+  int idx[64];
+  int n = 0;
+  int16_t maxabs = 0;
+  for (int i = 0; i < 64; ++i) {
+    if (block[i] != 0) {
+      idx[n++] = i;
+      int16_t a = block[i] < 0 ? -block[i] : block[i];
+      if (a > maxabs) maxabs = a;
+    }
+  }
+  if (n > k) {
+    std::partial_sort(idx, idx + k, idx + n, [&](int a, int b) {
+      int av = block[a] < 0 ? -block[a] : block[a];
+      int bv = block[b] < 0 ? -block[b] : block[b];
+      return av > bv;
+    });
+    n = k;
+    std::sort(idx, idx + n);  // values must be written in position order
+  }
+  int scale = (maxabs + 126) / 127;
+  if (scale < 1) scale = 1;
+  if (scale > 255) scale = 255;
+  *scale_out = static_cast<uint8_t>(scale);
+  for (int j = 0; j < n; ++j) {
+    int v = (block[idx[j]] + (block[idx[j]] >= 0 ? scale / 2 : -(scale / 2))) / scale;
+    if (v > 127) v = 127;
+    if (v < -127) v = -127;
+    values[j] = static_cast<int8_t>(v);
+    mask[idx[j] >> 3] |= static_cast<uint8_t>(1u << (idx[j] & 7));
+  }
+  for (int j = n; j < k; ++j) values[j] = 0;
+}
+
 void pack_component(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays, int comp,
                     int k, int canvas_h, int canvas_w, int8_t* values,
-                    uint8_t* indices, uint8_t* scales) {
+                    uint8_t* indices, uint8_t* scales, bool mask_fmt) {
   const int hb = std::min<int>(cinfo.comp_info[comp].height_in_blocks, canvas_h);
   const int wb = std::min<int>(cinfo.comp_info[comp].width_in_blocks, canvas_w);
+  const size_t istride = mask_fmt ? 8 : static_cast<size_t>(k);
   for (int row = 0; row < hb; ++row) {
     JBLOCKARRAY row_ptrs = (*cinfo.mem->access_virt_barray)(
         reinterpret_cast<j_common_ptr>(&cinfo), arrays[comp], row, 1, FALSE);
     for (int b = 0; b < wb; ++b) {
       size_t off = (static_cast<size_t>(row) * canvas_w + b);
-      pack_block_topk(reinterpret_cast<int16_t*>(row_ptrs[0][b]), k,
-                      values + off * k, indices + off * k, scales + off);
+      if (mask_fmt)
+        pack_block_topk_mask(reinterpret_cast<int16_t*>(row_ptrs[0][b]), k,
+                             values + off * k, indices + off * istride, scales + off);
+      else
+        pack_block_topk(reinterpret_cast<int16_t*>(row_ptrs[0][b]), k,
+                        values + off * k, indices + off * istride, scales + off);
     }
   }
 }
 
 // --- read_into_packed(path, k, vy, iy, sy, yc_h, yc_w, vc, ic, sc, cc_h,
 //                      cc_w, quant_buf) -> (ncomp, yh, yw, ch, cw) -----------
-PyObject* py_read_into_packed(PyObject*, PyObject* args) {
+// mask_fmt: iy/ic hold 8-byte occupancy bitmasks instead of K uint8 indices.
+PyObject* read_into_packed_impl(PyObject* args, bool mask_fmt) {
   const char* path;
   int k, yc_h, yc_w, cc_h, cc_w;
   Py_buffer vy, iy, sy, vc, ic, sc, qb;
@@ -589,8 +635,9 @@ PyObject* py_read_into_packed(PyObject*, PyObject* args) {
   Py_buffer* bufs[7] = {&vy, &iy, &sy, &vc, &ic, &sc, &qb};
   const size_t y_blocks = static_cast<size_t>(yc_h) * yc_w;
   const size_t c_blocks = 2 * static_cast<size_t>(cc_h) * cc_w;
-  const size_t needs[7] = {y_blocks * k, y_blocks * k, y_blocks,
-                           c_blocks * k, c_blocks * k, c_blocks,
+  const size_t istride = mask_fmt ? 8 : static_cast<size_t>(k);
+  const size_t needs[7] = {y_blocks * k, y_blocks * istride, y_blocks,
+                           c_blocks * k, c_blocks * istride, c_blocks,
                            3 * kDct2 * sizeof(int16_t)};
   for (int i = 0; i < 7; ++i) {
     if (static_cast<size_t>(bufs[i]->len) < needs[i]) {
@@ -638,16 +685,18 @@ PyObject* py_read_into_packed(PyObject*, PyObject* args) {
     }
     int16_t* qdat = static_cast<int16_t*>(qb.buf);
     pack_component(cinfo, arrays, 0, k, yc_h, yc_w, static_cast<int8_t*>(vy.buf),
-                   static_cast<uint8_t*>(iy.buf), static_cast<uint8_t*>(sy.buf));
+                   static_cast<uint8_t*>(iy.buf), static_cast<uint8_t*>(sy.buf),
+                   mask_fmt);
     extract_quant(cinfo, 0, qdat);
     if (cinfo.num_components > 1) {
       const size_t plane = static_cast<size_t>(cc_h) * cc_w;
       pack_component(cinfo, arrays, 1, k, cc_h, cc_w, static_cast<int8_t*>(vc.buf),
-                     static_cast<uint8_t*>(ic.buf), static_cast<uint8_t*>(sc.buf));
+                     static_cast<uint8_t*>(ic.buf), static_cast<uint8_t*>(sc.buf),
+                     mask_fmt);
       pack_component(cinfo, arrays, 2, k, cc_h, cc_w,
                      static_cast<int8_t*>(vc.buf) + plane * k,
-                     static_cast<uint8_t*>(ic.buf) + plane * k,
-                     static_cast<uint8_t*>(sc.buf) + plane);
+                     static_cast<uint8_t*>(ic.buf) + plane * istride,
+                     static_cast<uint8_t*>(sc.buf) + plane, mask_fmt);
       extract_quant(cinfo, 1, qdat + kDct2);
       extract_quant(cinfo, 2, qdat + 2 * kDct2);
     } else {
@@ -667,6 +716,14 @@ PyObject* py_read_into_packed(PyObject*, PyObject* args) {
   return Py_BuildValue("iiiii", info.num_components, info.height_in_blocks[0],
                        info.width_in_blocks[0], info.height_in_blocks[1],
                        info.width_in_blocks[1]);
+}
+
+PyObject* py_read_into_packed(PyObject*, PyObject* args) {
+  return read_into_packed_impl(args, false);
+}
+
+PyObject* py_read_into_packed_mask(PyObject*, PyObject* args) {
+  return read_into_packed_impl(args, true);
 }
 
 // --- write_coefficients(path, img_h, img_w, quant_buf, y_buf, y_hb, y_wb,
@@ -959,6 +1016,8 @@ PyMethodDef methods[] = {
      "Entropy-decode DCT coefficients into preallocated int16 canvases."},
     {"read_into_packed", py_read_into_packed, METH_VARARGS,
      "Entropy-decode + sparse top-K pack into int8/uint8 canvases."},
+    {"read_into_packed_mask", py_read_into_packed_mask, METH_VARARGS,
+     "Top-K pack with 8-byte occupancy bitmasks (25 B/block at K=16)."},
     {"write_coefficients", py_write_coefficients, METH_VARARGS,
      "Write DCT coefficients to a JPEG file."},
     {"quantize_at_quality", py_quantize_at_quality, METH_VARARGS,

@@ -69,7 +69,7 @@ class Trainer:
     """Owns mesh, model, state and the jitted step functions for one config."""
 
     def __init__(self, cfg: Config, devices=None, seed: int | None = None, canvas: int = 64,
-                 transfer: str = "packed"):
+                 transfer: str = "packed", packed_fmt: str = "mask"):
         self.cfg = update_runtime(cfg, len(devices or jax.devices()))
         self.mesh = make_mesh(devices)
         self.n_devices = len(self.mesh.devices.ravel())
@@ -83,10 +83,15 @@ class Trainer:
             transfer = "dense"  # pixel canvases; no packed form for RGB
         assert transfer in ("packed", "dense"), transfer
         self.transfer = transfer
+        self.packed_fmt = packed_fmt
         packed = transfer == "packed"
         if self.domain == "DCT":
-            self.train_pipe = make_train_pipeline(cfg, canvas=canvas, packed=packed)
-            self.eval_pipe = make_eval_pipeline(cfg, canvas=canvas, packed=packed)
+            self.train_pipe = make_train_pipeline(
+                cfg, canvas=canvas, packed=packed, packed_fmt=packed_fmt
+            )
+            self.eval_pipe = make_eval_pipeline(
+                cfg, canvas=canvas, packed=packed, packed_fmt=packed_fmt
+            )
         else:
             from rgbnomore_tpu.augment.rgb import make_rgb_eval_pipeline, make_rgb_train_pipeline
 
@@ -220,7 +225,7 @@ class Trainer:
 
 def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int = 64,
                  num_threads: int = 4, global_batch: int | None = None,
-                 transfer: str = "packed"):
+                 transfer: str = "packed", packed_fmt: str = "mask"):
     """Build train / minival / trainval / test loaders (``datasets.py:445-582``)."""
     train_all = load_index(index_train)
     test_ds = load_index(index_val)
@@ -238,10 +243,11 @@ def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int =
             seed=cfg.seed, num_threads=num_threads, **shard_kw,
         )
     else:
+        fmt_kw = {"fmt": packed_fmt} if transfer == "packed" else {}
         cls = DctPackedLoader if transfer == "packed" else DctCanvasLoader
         mk = lambda ds, shuffle, drop: cls(
             ds, bsz, canvas=canvas, shuffle=shuffle, drop_last=drop, seed=cfg.seed,
-            num_threads=num_threads, **shard_kw,
+            num_threads=num_threads, **shard_kw, **fmt_kw,
         )
     return {
         "train": mk(train_ds, True, True),

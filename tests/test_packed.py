@@ -6,9 +6,13 @@ import jax.numpy as jnp
 import pytest
 
 from rgbnomore_tpu import codec
-from rgbnomore_tpu.augment.pipeline import make_train_pipeline, unpack_coefficients
+from rgbnomore_tpu.augment.pipeline import (
+    make_train_pipeline,
+    unpack_coefficients,
+    unpack_coefficients_mask,
+)
 from rgbnomore_tpu.data.index import load_index
-from rgbnomore_tpu.data.loader import DctPackedLoader
+from rgbnomore_tpu.data.loader import DctPackedLoader, packed_layout
 
 PIL = pytest.importorskip("PIL")
 from PIL import Image  # noqa: E402
@@ -34,6 +38,40 @@ def _pack(path, k=16, cv=8):
     q = np.zeros((3, 8, 8), np.int16)
     codec.read_into_packed(path, k, vy, iy, sy, vc, ic, sc, q)
     return vy, iy, sy, vc, ic, sc, q
+
+
+def _pack_mask(path, k=16, cv=8):
+    vy = np.zeros((1, cv, cv, k), np.int8)
+    my = np.zeros((1, cv, cv, 8), np.uint8)
+    sy = np.ones((1, cv, cv), np.uint8)
+    vc = np.zeros((2, cv // 2, cv // 2, k), np.int8)
+    mc = np.zeros((2, cv // 2, cv // 2, 8), np.uint8)
+    sc = np.ones((2, cv // 2, cv // 2), np.uint8)
+    q = np.zeros((3, 8, 8), np.int16)
+    codec.read_into_packed_mask(path, k, vy, my, sy, vc, mc, sc, q)
+    return vy, my, sy, vc, mc, sc, q
+
+
+def test_mask_format_matches_index_reconstruction(jpeg_file):
+    """Bitmask packing carries the exact same information as (value, index)
+    pairs — reconstructions must be bit-identical, at 25 vs 33 B/block."""
+    vy, iy, sy, vc, ic, sc, q = _pack(jpeg_file, k=16)
+    vym, my, sym, vcm, mc, scm, qm = _pack_mask(jpeg_file, k=16)
+    np.testing.assert_array_equal(q, qm)
+    np.testing.assert_array_equal(sy, sym)
+    y_idx = np.asarray(unpack_coefficients(jnp.asarray(vy), jnp.asarray(iy), jnp.asarray(sy)))
+    y_msk = np.asarray(unpack_coefficients_mask(jnp.asarray(vym), jnp.asarray(my), jnp.asarray(sym)))
+    np.testing.assert_array_equal(y_idx, y_msk)
+    c_idx = np.asarray(unpack_coefficients(jnp.asarray(vc), jnp.asarray(ic), jnp.asarray(sc)))
+    c_msk = np.asarray(unpack_coefficients_mask(jnp.asarray(vcm), jnp.asarray(mc), jnp.asarray(scm)))
+    np.testing.assert_array_equal(c_idx, c_msk)
+    # popcount of every mask never exceeds K
+    bits = np.unpackbits(my, axis=-1).reshape(1, my.shape[1], my.shape[2], 64)
+    assert bits.sum(axis=-1).max() <= 16
+
+
+def test_mask_layout_is_smaller(jpeg_file):
+    assert packed_layout(64, 16, "mask")["row"] < 0.78 * packed_layout(64, 16, "index")["row"]
 
 
 def test_pack_unpack_close_to_dense(jpeg_file):
@@ -67,10 +105,10 @@ def test_packed_loader_and_pipeline(tmp_path, jpeg_file):
     ds = load_index(csv)
     loader = DctPackedLoader(ds, 4, canvas=8, k=16, shuffle=False, num_threads=2)
     batch = next(iter(loader))
-    # consolidated single-buffer transfer, ~4x smaller than dense int16
+    # consolidated single-buffer transfer, >4x smaller than dense int16
     dense_bytes = 1 * 8 * 8 * 64 * 2 + 2 * 4 * 4 * 64 * 2
     assert batch["packed"].shape == (4, loader.layout["row"])
-    assert loader.layout["row"] < dense_bytes / 3
+    assert loader.layout["row"] < dense_bytes / 4
     assert (batch["weights"] == 1.0).all()
     assert set(batch["labels"].tolist()) == {0, 1}
 
