@@ -28,6 +28,8 @@ __all__ = [
     "split_packed_batch",
     "unpack_coefficients",
     "unpack_coefficients_mask",
+    "unpack_fields",
+    "make_packed_rgb_decode",
     "to_range",
     "make_train_pipeline",
     "make_eval_pipeline",
@@ -105,6 +107,43 @@ def unpack_coefficients_mask(
     return dense.reshape(dense.shape[:-1] + (8, 8))
 
 
+def unpack_fields(f: dict, fmt: str):
+    """Decompress a split packed batch to dense (y, c) quantized coefficients
+    under any wire format (see ``data.loader.packed_layout``)."""
+    unpack = unpack_coefficients if fmt == "index" else unpack_coefficients_mask
+    y = unpack(f["vy"], f["iy"], f["sy"])
+    c = unpack(f["vc"], f["ic"], f["sc"])
+    if fmt == "mask16":  # exact int16 DC rides in its own plane
+        y = y.at[..., 0, 0].set(f["dy"].astype(jnp.float32))
+        c = c.at[..., 0, 0].set(f["dc"].astype(jnp.float32))
+    return y, c
+
+
+def make_packed_rgb_decode(canvas: int = 64, k: int = 63, fmt: str = "mask16"):
+    """Packed coefficient buffer -> RGB pixel batch, fully on-device.
+
+    The RGB domain's answer to transfer compression: instead of shipping
+    decoded (B, 3, 8*canvas, 8*canvas) uint8 canvases (786 KB/img at 512px),
+    ship the same sparse-packed DCT coefficients as the DCT domain and run
+    the JPEG tail decode (IDCT + fancy chroma upsample + YCbCr->RGB, see
+    ``ops.pixel_decode``) as jitted matmul work on the device.  The default
+    ``mask16`` format at full AC spectrum (K=63) is 1.7x fewer bytes and
+    near-lossless (exact DC, AC scale almost always 1); smaller K trades
+    high-frequency pixel fidelity for more speed.
+
+    Returns ``fn(packed_buf) -> (pixels f32 (B, 3, H, W), labels, weights)``.
+    """
+    from rgbnomore_tpu.ops.pixel_decode import decode_rgb_pixels
+
+    def decode(packed_buf):
+        f = split_packed_batch(packed_buf, canvas, k, fmt)
+        y, c = unpack_fields(f, fmt)
+        y, c = dequantize(y, c, f["quant"])
+        return decode_rgb_pixels(y, c), f["labels"], f["weights"]
+
+    return decode
+
+
 def dequantize(y_q: jax.Array, c_q: jax.Array, quant: jax.Array):
     """Dequantize int16 coefficient canvases with per-sample quant tables.
 
@@ -152,6 +191,7 @@ def make_train_pipeline(
     out_dtype=jnp.float32,
     packed: bool = False,
     packed_fmt: str = "mask",
+    packed_k: int = 16,
 ) -> Callable:
     """Build the jitted train input pipeline.
 
@@ -180,12 +220,10 @@ def make_train_pipeline(
         return to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype)
 
     if packed:
-        unpack = unpack_coefficients_mask if packed_fmt == "mask" else unpack_coefficients
 
-        def pipeline(rng, packed_buf, k: int = 16):
+        def pipeline(rng, packed_buf, k: int = packed_k):
             f = split_packed_batch(packed_buf, canvas, k, packed_fmt)
-            y = unpack(f["vy"], f["iy"], f["sy"])
-            c = unpack(f["vc"], f["ic"], f["sc"])
+            y, c = unpack_fields(f, packed_fmt)
             out_y, out_c = tail(rng, y, c, f["quant"])
             return out_y, out_c, f["labels"], f["weights"]
 
@@ -203,6 +241,7 @@ def make_eval_pipeline(
     out_dtype=jnp.float32,
     packed: bool = False,
     packed_fmt: str = "mask",
+    packed_k: int = 16,
 ) -> Callable:
     """Build the jitted eval pipeline (dense ``fn(y_q, c_q, quant)`` or packed
     ``fn(batch)``).
@@ -224,12 +263,10 @@ def make_eval_pipeline(
         return to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype)
 
     if packed:
-        unpack = unpack_coefficients_mask if packed_fmt == "mask" else unpack_coefficients
 
-        def pipeline(packed_buf, k: int = 16):
+        def pipeline(packed_buf, k: int = packed_k):
             f = split_packed_batch(packed_buf, canvas, k, packed_fmt)
-            y = unpack(f["vy"], f["iy"], f["sy"])
-            c = unpack(f["vc"], f["ic"], f["sc"])
+            y, c = unpack_fields(f, packed_fmt)
             out_y, out_c = tail(y, c, f["quant"])
             return out_y, out_c, f["labels"], f["weights"]
 

@@ -34,6 +34,7 @@ __all__ = [
     "read_into_canvas",
     "read_into_packed",
     "read_into_packed_mask",
+    "read_into_packed_mask16",
     "write_coefficients",
     "quantize_at_quality",
     "write_tensor",
@@ -136,6 +137,28 @@ def read_into_packed_mask(
     ch_c, cw_c = vc.shape[-3], vc.shape[-2]
     return _dctcodec.read_into_packed_mask(
         str(path), k, vy, my, sy, yh_c, yw_c, vc, mc, sc, ch_c, cw_c, quant_out
+    )
+
+
+def read_into_packed_mask16(
+    path: str,
+    k: int,
+    vy: np.ndarray, my: np.ndarray, sy: np.ndarray, dy: np.ndarray,
+    vc: np.ndarray, mc: np.ndarray, sc: np.ndarray, dc: np.ndarray,
+    quant_out: np.ndarray,
+):
+    """Bitmask pack with an EXACT int16 DC per block (``dy``/``dc``,
+    shape (1|2, H, W) int16) and int8 top-K ACs scaled independently of the
+    DC.  The DC usually dominates a block's magnitude, so excluding it keeps
+    the AC scale at 1 for typical photos — near-lossless at K >= the AC
+    nonzero count (K+11 B/block; K=63 keeps the whole spectrum).  Used as the
+    default wire format for the RGB domain's on-device JPEG decode.
+    """
+    yh_c, yw_c = vy.shape[-3], vy.shape[-2]
+    ch_c, cw_c = vc.shape[-3], vc.shape[-2]
+    return _dctcodec.read_into_packed_mask16(
+        str(path), k, vy, my, sy, dy, yh_c, yw_c, vc, mc, sc, dc, ch_c, cw_c,
+        quant_out,
     )
 
 

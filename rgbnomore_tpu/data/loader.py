@@ -202,10 +202,12 @@ def packed_layout(canvas: int, k: int, fmt: str = "mask") -> dict:
     bitmask (``iy``/``ic`` shaped (..., 8)) — 25 B/block at K=16.
     ``fmt="index"``: one uint8 position per value (``iy``/``ic`` shaped
     (..., K)) — 33 B/block.  Same int8-value quantization either way.
+    ``fmt="mask16"``: like ``mask`` plus exact int16 DC planes ``dy``/``dc``
+    and a DC-free AC scale — near-lossless, K+11 B/block (RGB-domain default).
     """
-    assert fmt in ("mask", "index"), fmt
+    assert fmt in ("mask", "index", "mask16"), fmt
     cv2 = canvas // 2
-    iw = 8 if fmt == "mask" else k  # index bytes per block
+    iw = k if fmt == "index" else 8  # index/mask bytes per block
     fields = {
         "vy": ((1, canvas, canvas, k), np.int8),
         "iy": ((1, canvas, canvas, iw), np.uint8),
@@ -217,6 +219,9 @@ def packed_layout(canvas: int, k: int, fmt: str = "mask") -> dict:
         "labels": ((), np.int32),
         "weights": ((), np.float32),
     }
+    if fmt == "mask16":
+        fields["dy"] = ((1, canvas, canvas), np.int16)
+        fields["dc"] = ((2, cv2, cv2), np.int16)
     layout = {}
     off = 0
     for name, (shape, dtype) in fields.items():
@@ -257,8 +262,16 @@ class DctPackedLoader(_BaseLoader):
         self.k = k
         self.fmt = fmt
         self.layout = packed_layout(canvas, k, fmt)
-        self._read = (codec.read_into_packed_mask if fmt == "mask"
-                      else codec.read_into_packed)
+        if fmt == "mask16":
+            self._read_views = lambda path, v: codec.read_into_packed_mask16(
+                path, self.k, v["vy"], v["iy"], v["sy"], v["dy"],
+                v["vc"], v["ic"], v["sc"], v["dc"], v["quant"])
+        else:
+            read = (codec.read_into_packed_mask if fmt == "mask"
+                    else codec.read_into_packed)
+            self._read_views = lambda path, v, _r=read: _r(
+                path, self.k, v["vy"], v["iy"], v["sy"],
+                v["vc"], v["ic"], v["sc"], v["quant"])
 
     def _decode_batch(self, pool: ThreadPoolExecutor, idx: np.ndarray) -> dict:
         buf = np.zeros((self.batch_size, self.layout["row"]), np.uint8)
@@ -269,10 +282,7 @@ class DctPackedLoader(_BaseLoader):
             if ds_index < 0:  # shard-padding sentinel
                 return
             v = row_views(buf[slot], self.layout)
-            self._read(
-                self.dataset.paths[ds_index], self.k,
-                v["vy"], v["iy"], v["sy"], v["vc"], v["ic"], v["sc"], v["quant"],
-            )
+            self._read_views(self.dataset.paths[ds_index], v)
             v["labels"][...] = self.dataset.labels[ds_index]
             v["weights"][...] = 1.0
             labels[slot] = self.dataset.labels[ds_index]

@@ -600,46 +600,109 @@ void pack_block_topk_mask(const int16_t* block, int k, int8_t* values,
   for (int j = n; j < k; ++j) values[j] = 0;
 }
 
+// mask16 variant: the DC coefficient is stored EXACTLY as int16 (it is the
+// largest-magnitude coefficient and would otherwise dominate the int8 scale),
+// the mask/values carry only AC positions 1..63 so the AC scale is almost
+// always 1 — near-lossless at K >= nonzero-AC count.  K+11 bytes/block.
+void pack_block_topk_mask16(const int16_t* block, int k, int8_t* values,
+                            uint8_t* mask, uint8_t* scale_out, int16_t* dc_out) {
+  *dc_out = block[0];
+  int idx[64];
+  int n = 0;
+  int16_t maxabs = 0;
+  for (int i = 1; i < 64; ++i) {
+    if (block[i] != 0) {
+      idx[n++] = i;
+      int16_t a = block[i] < 0 ? -block[i] : block[i];
+      if (a > maxabs) maxabs = a;
+    }
+  }
+  if (n > k) {
+    std::partial_sort(idx, idx + k, idx + n, [&](int a, int b) {
+      int av = block[a] < 0 ? -block[a] : block[a];
+      int bv = block[b] < 0 ? -block[b] : block[b];
+      return av > bv;
+    });
+    n = k;
+    std::sort(idx, idx + n);
+  }
+  int scale = (maxabs + 126) / 127;
+  if (scale < 1) scale = 1;
+  if (scale > 255) scale = 255;
+  *scale_out = static_cast<uint8_t>(scale);
+  for (int j = 0; j < n; ++j) {
+    int v = (block[idx[j]] + (block[idx[j]] >= 0 ? scale / 2 : -(scale / 2))) / scale;
+    if (v > 127) v = 127;
+    if (v < -127) v = -127;
+    values[j] = static_cast<int8_t>(v);
+    mask[idx[j] >> 3] |= static_cast<uint8_t>(1u << (idx[j] & 7));
+  }
+  for (int j = n; j < k; ++j) values[j] = 0;
+}
+
+enum PackFmt { kPackIndex = 0, kPackMask = 1, kPackMask16 = 2 };
+
 void pack_component(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays, int comp,
                     int k, int canvas_h, int canvas_w, int8_t* values,
-                    uint8_t* indices, uint8_t* scales, bool mask_fmt) {
+                    uint8_t* indices, uint8_t* scales, PackFmt fmt,
+                    int16_t* dcs = nullptr) {
   const int hb = std::min<int>(cinfo.comp_info[comp].height_in_blocks, canvas_h);
   const int wb = std::min<int>(cinfo.comp_info[comp].width_in_blocks, canvas_w);
-  const size_t istride = mask_fmt ? 8 : static_cast<size_t>(k);
+  const size_t istride = fmt == kPackIndex ? static_cast<size_t>(k) : 8;
   for (int row = 0; row < hb; ++row) {
     JBLOCKARRAY row_ptrs = (*cinfo.mem->access_virt_barray)(
         reinterpret_cast<j_common_ptr>(&cinfo), arrays[comp], row, 1, FALSE);
     for (int b = 0; b < wb; ++b) {
       size_t off = (static_cast<size_t>(row) * canvas_w + b);
-      if (mask_fmt)
-        pack_block_topk_mask(reinterpret_cast<int16_t*>(row_ptrs[0][b]), k,
-                             values + off * k, indices + off * istride, scales + off);
+      const int16_t* blk = reinterpret_cast<int16_t*>(row_ptrs[0][b]);
+      if (fmt == kPackMask16)
+        pack_block_topk_mask16(blk, k, values + off * k, indices + off * istride,
+                               scales + off, dcs + off);
+      else if (fmt == kPackMask)
+        pack_block_topk_mask(blk, k, values + off * k, indices + off * istride,
+                             scales + off);
       else
-        pack_block_topk(reinterpret_cast<int16_t*>(row_ptrs[0][b]), k,
-                        values + off * k, indices + off * istride, scales + off);
+        pack_block_topk(blk, k, values + off * k, indices + off * istride,
+                        scales + off);
     }
   }
 }
 
 // --- read_into_packed(path, k, vy, iy, sy, yc_h, yc_w, vc, ic, sc, cc_h,
 //                      cc_w, quant_buf) -> (ncomp, yh, yw, ch, cw) -----------
-// mask_fmt: iy/ic hold 8-byte occupancy bitmasks instead of K uint8 indices.
-PyObject* read_into_packed_impl(PyObject* args, bool mask_fmt) {
+// kPackMask: iy/ic hold 8-byte occupancy bitmasks instead of K uint8 indices.
+// kPackMask16 additionally parses dy/dcc int16 DC buffers (after sy / sc).
+PyObject* read_into_packed_impl(PyObject* args, PackFmt fmt) {
   const char* path;
   int k, yc_h, yc_w, cc_h, cc_w;
   Py_buffer vy, iy, sy, vc, ic, sc, qb;
-  if (!PyArg_ParseTuple(args, "siw*w*w*iiw*w*w*iiw*", &path, &k, &vy, &iy, &sy,
-                        &yc_h, &yc_w, &vc, &ic, &sc, &cc_h, &cc_w, &qb))
-    return nullptr;
+  Py_buffer dy{}, dcc{};
+  if (fmt == kPackMask16) {
+    if (!PyArg_ParseTuple(args, "siw*w*w*w*iiw*w*w*w*iiw*", &path, &k, &vy, &iy,
+                          &sy, &dy, &yc_h, &yc_w, &vc, &ic, &sc, &dcc, &cc_h,
+                          &cc_w, &qb))
+      return nullptr;
+  } else {
+    if (!PyArg_ParseTuple(args, "siw*w*w*iiw*w*w*iiw*", &path, &k, &vy, &iy, &sy,
+                          &yc_h, &yc_w, &vc, &ic, &sc, &cc_h, &cc_w, &qb))
+      return nullptr;
+  }
 
-  Py_buffer* bufs[7] = {&vy, &iy, &sy, &vc, &ic, &sc, &qb};
+  const bool has_dc = fmt == kPackMask16;
   const size_t y_blocks = static_cast<size_t>(yc_h) * yc_w;
   const size_t c_blocks = 2 * static_cast<size_t>(cc_h) * cc_w;
-  const size_t istride = mask_fmt ? 8 : static_cast<size_t>(k);
-  const size_t needs[7] = {y_blocks * k, y_blocks * istride, y_blocks,
-                           c_blocks * k, c_blocks * istride, c_blocks,
-                           3 * kDct2 * sizeof(int16_t)};
-  for (int i = 0; i < 7; ++i) {
+  const size_t istride = fmt == kPackIndex ? static_cast<size_t>(k) : 8;
+  std::vector<Py_buffer*> bufs = {&vy, &iy, &sy, &vc, &ic, &sc, &qb};
+  std::vector<size_t> needs = {y_blocks * k, y_blocks * istride, y_blocks,
+                               c_blocks * k, c_blocks * istride, c_blocks,
+                               3 * kDct2 * sizeof(int16_t)};
+  if (has_dc) {
+    bufs.push_back(&dy);
+    needs.push_back(y_blocks * sizeof(int16_t));
+    bufs.push_back(&dcc);
+    needs.push_back(c_blocks * sizeof(int16_t));
+  }
+  for (size_t i = 0; i < bufs.size(); ++i) {
     if (static_cast<size_t>(bufs[i]->len) < needs[i]) {
       for (auto* b : bufs) PyBuffer_Release(b);
       PyErr_SetString(PyExc_ValueError, "packed canvas buffer too small");
@@ -670,6 +733,10 @@ PyObject* read_into_packed_impl(PyObject* args, bool mask_fmt) {
   std::memset(vc.buf, 0, needs[3]);
   std::memset(ic.buf, 0, needs[4]);
   std::memset(sc.buf, 1, needs[5]);
+  if (has_dc) {
+    std::memset(dy.buf, 0, needs[7]);
+    std::memset(dcc.buf, 0, needs[8]);
+  }
   if (setjmp(err.jump)) {
     ok = false;
     msg = err.message;
@@ -686,17 +753,18 @@ PyObject* read_into_packed_impl(PyObject* args, bool mask_fmt) {
     int16_t* qdat = static_cast<int16_t*>(qb.buf);
     pack_component(cinfo, arrays, 0, k, yc_h, yc_w, static_cast<int8_t*>(vy.buf),
                    static_cast<uint8_t*>(iy.buf), static_cast<uint8_t*>(sy.buf),
-                   mask_fmt);
+                   fmt, has_dc ? static_cast<int16_t*>(dy.buf) : nullptr);
     extract_quant(cinfo, 0, qdat);
     if (cinfo.num_components > 1) {
       const size_t plane = static_cast<size_t>(cc_h) * cc_w;
       pack_component(cinfo, arrays, 1, k, cc_h, cc_w, static_cast<int8_t*>(vc.buf),
                      static_cast<uint8_t*>(ic.buf), static_cast<uint8_t*>(sc.buf),
-                     mask_fmt);
+                     fmt, has_dc ? static_cast<int16_t*>(dcc.buf) : nullptr);
       pack_component(cinfo, arrays, 2, k, cc_h, cc_w,
                      static_cast<int8_t*>(vc.buf) + plane * k,
                      static_cast<uint8_t*>(ic.buf) + plane * istride,
-                     static_cast<uint8_t*>(sc.buf) + plane, mask_fmt);
+                     static_cast<uint8_t*>(sc.buf) + plane, fmt,
+                     has_dc ? static_cast<int16_t*>(dcc.buf) + plane : nullptr);
       extract_quant(cinfo, 1, qdat + kDct2);
       extract_quant(cinfo, 2, qdat + 2 * kDct2);
     } else {
@@ -719,11 +787,15 @@ PyObject* read_into_packed_impl(PyObject* args, bool mask_fmt) {
 }
 
 PyObject* py_read_into_packed(PyObject*, PyObject* args) {
-  return read_into_packed_impl(args, false);
+  return read_into_packed_impl(args, kPackIndex);
 }
 
 PyObject* py_read_into_packed_mask(PyObject*, PyObject* args) {
-  return read_into_packed_impl(args, true);
+  return read_into_packed_impl(args, kPackMask);
+}
+
+PyObject* py_read_into_packed_mask16(PyObject*, PyObject* args) {
+  return read_into_packed_impl(args, kPackMask16);
 }
 
 // --- write_coefficients(path, img_h, img_w, quant_buf, y_buf, y_hb, y_wb,
@@ -1018,6 +1090,8 @@ PyMethodDef methods[] = {
      "Entropy-decode + sparse top-K pack into int8/uint8 canvases."},
     {"read_into_packed_mask", py_read_into_packed_mask, METH_VARARGS,
      "Top-K pack with 8-byte occupancy bitmasks (25 B/block at K=16)."},
+    {"read_into_packed_mask16", py_read_into_packed_mask16, METH_VARARGS,
+     "Bitmask pack with exact int16 DC + int8 top-K ACs (K+11 B/block)."},
     {"write_coefficients", py_write_coefficients, METH_VARARGS,
      "Write DCT coefficients to a JPEG file."},
     {"quantize_at_quality", py_quantize_at_quality, METH_VARARGS,

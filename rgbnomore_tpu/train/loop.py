@@ -69,7 +69,8 @@ class Trainer:
     """Owns mesh, model, state and the jitted step functions for one config."""
 
     def __init__(self, cfg: Config, devices=None, seed: int | None = None, canvas: int = 64,
-                 transfer: str = "packed", packed_fmt: str = "mask"):
+                 transfer: str = "packed", packed_fmt: str | None = None,
+                 packed_k: int | None = None):
         self.cfg = update_runtime(cfg, len(devices or jax.devices()))
         self.mesh = make_mesh(devices)
         self.n_devices = len(self.mesh.devices.ravel())
@@ -79,25 +80,48 @@ class Trainer:
         self.model = build_model(cfg)
         self.canvas = canvas
         self.domain = cfg.model.domain
-        if self.domain == "RGB":
-            transfer = "dense"  # pixel canvases; no packed form for RGB
         assert transfer in ("packed", "dense"), transfer
         self.transfer = transfer
-        self.packed_fmt = packed_fmt
+        # Wire-format defaults: DCT models keep the validated top-16 `mask`
+        # spectrum; RGB packed transfer uses `mask16` at the full AC spectrum
+        # (exact DC, K=63) so on-device-decoded pixels stay within IDCT
+        # rounding of a host libjpeg decode.
+        self.packed_fmt = packed_fmt or ("mask" if self.domain == "DCT" else "mask16")
+        self.packed_k = packed_k or (16 if self.domain == "DCT" else 63)
+        packed_fmt = self.packed_fmt
         packed = transfer == "packed"
         if self.domain == "DCT":
             self.train_pipe = make_train_pipeline(
-                cfg, canvas=canvas, packed=packed, packed_fmt=packed_fmt
+                cfg, canvas=canvas, packed=packed, packed_fmt=packed_fmt,
+                packed_k=self.packed_k,
             )
             self.eval_pipe = make_eval_pipeline(
-                cfg, canvas=canvas, packed=packed, packed_fmt=packed_fmt
+                cfg, canvas=canvas, packed=packed, packed_fmt=packed_fmt,
+                packed_k=self.packed_k,
             )
         else:
+            from rgbnomore_tpu.augment.pipeline import make_packed_rgb_decode
             from rgbnomore_tpu.augment.rgb import make_rgb_eval_pipeline, make_rgb_train_pipeline
 
             rgb_canvas = canvas if canvas != 64 else 512  # canvas is pixels for RGB
-            self.train_pipe = make_rgb_train_pipeline(cfg, canvas=rgb_canvas)
-            self.eval_pipe = make_rgb_eval_pipeline(cfg, canvas=rgb_canvas)
+            rgb_train = make_rgb_train_pipeline(cfg, canvas=rgb_canvas)
+            rgb_eval = make_rgb_eval_pipeline(cfg, canvas=rgb_canvas)
+            if packed:
+                # ship coefficients, decode to pixels on-device (see
+                # augment.pipeline.make_packed_rgb_decode)
+                decode = make_packed_rgb_decode(rgb_canvas // 8, self.packed_k, packed_fmt)
+
+                def train_pipe(rng, packed_buf, _rt=rgb_train, _d=decode):
+                    img, labels, w = _d(packed_buf)
+                    return _rt(rng, img), labels, w
+
+                def eval_pipe(packed_buf, _re=rgb_eval, _d=decode):
+                    img, labels, w = _d(packed_buf)
+                    return _re(img), labels, w
+
+                self.train_pipe, self.eval_pipe = train_pipe, eval_pipe
+            else:
+                self.train_pipe, self.eval_pipe = rgb_train, rgb_eval
         self._train_step_inner = None
         self._eval_step_inner = None
         self.state = None
@@ -144,7 +168,10 @@ class Trainer:
         def step(state, batch, rng):
             step_rng = jax.random.fold_in(rng, state.step)
             k_aug, k_mix, k_drop = jax.random.split(step_rng, 3)
-            if rgb:
+            if rgb and packed:
+                img, labels, _ = pipe(k_aug, batch["packed"])
+                inputs = (img,)
+            elif rgb:
                 inputs = (pipe(k_aug, batch["pixels"]),)
                 labels = batch["labels"]
             elif packed:
@@ -179,7 +206,10 @@ class Trainer:
         rgb = self.domain == "RGB"
 
         def step(params, batch):
-            if rgb:
+            if rgb and packed:
+                img, labels, w = pipe(batch["packed"])
+                inputs = (img,)
+            elif rgb:
                 inputs = (pipe(batch["pixels"]),)
                 labels, w = batch["labels"], batch["weights"]
             elif packed:
@@ -225,7 +255,8 @@ class Trainer:
 
 def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int = 64,
                  num_threads: int = 4, global_batch: int | None = None,
-                 transfer: str = "packed", packed_fmt: str = "mask"):
+                 transfer: str = "packed", packed_fmt: str | None = None,
+                 packed_k: int | None = None):
     """Build train / minival / trainval / test loaders (``datasets.py:445-582``)."""
     train_all = load_index(index_train)
     test_ds = load_index(index_val)
@@ -236,14 +267,23 @@ def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int =
     # 1/P slice of every global batch (assembled in Trainer._put)
     bsz = (global_batch or cfg.train.batch_size) // jax.process_count()
     shard_kw = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
-    if cfg.model.domain == "RGB":
+    if cfg.model.domain == "RGB" and transfer == "dense":
         rgb_canvas = canvas if canvas != 64 else 512
         mk = lambda ds, shuffle, drop: RgbCanvasLoader(
             ds, bsz, image_size=rgb_canvas, shuffle=shuffle, drop_last=drop,
             seed=cfg.seed, num_threads=num_threads, **shard_kw,
         )
     else:
-        fmt_kw = {"fmt": packed_fmt} if transfer == "packed" else {}
+        if cfg.model.domain == "RGB":
+            # coefficients over the wire, JPEG tail decode on-device; full
+            # AC spectrum + exact DC by default (Trainer.packed_k semantics)
+            canvas = (canvas if canvas != 64 else 512) // 8
+            k = packed_k or 63
+            fmt = packed_fmt or "mask16"
+        else:
+            k = packed_k or 16
+            fmt = packed_fmt or "mask"
+        fmt_kw = ({"fmt": fmt, "k": k} if transfer == "packed" else {})
         cls = DctPackedLoader if transfer == "packed" else DctCanvasLoader
         mk = lambda ds, shuffle, drop: cls(
             ds, bsz, canvas=canvas, shuffle=shuffle, drop_last=drop, seed=cfg.seed,
@@ -286,14 +326,17 @@ def train_and_eval(
     max_steps_per_epoch: int | None = None,
     transfer: str = "packed",
     num_devices: int | None = None,
+    packed_k: int | None = None,
 ) -> dict:
     """Main train/eval flow (reference ``train.py:traineval``).  Returns final
     metrics."""
     devices = jax.devices()[:num_devices] if num_devices else None
-    trainer = Trainer(cfg, devices=devices, canvas=canvas, transfer=transfer)
+    trainer = Trainer(cfg, devices=devices, canvas=canvas, transfer=transfer,
+                      packed_k=packed_k)
     loaders = make_loaders(
         cfg, index_train, index_val, canvas=canvas, num_threads=num_threads,
         global_batch=trainer.global_batch(), transfer=transfer,
+        packed_fmt=trainer.packed_fmt, packed_k=trainer.packed_k,
     )
     steps_per_epoch = len(loaders["train"])
     if max_steps_per_epoch:

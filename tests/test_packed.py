@@ -74,6 +74,41 @@ def test_mask_layout_is_smaller(jpeg_file):
     assert packed_layout(64, 16, "mask")["row"] < 0.78 * packed_layout(64, 16, "index")["row"]
 
 
+def test_mask16_format_near_lossless(jpeg_file):
+    """Exact int16 DC + DC-free AC scale: at K=63 every block whose AC scale
+    is 1 (the typical case) round-trips bit-exactly."""
+    from rgbnomore_tpu.augment.pipeline import unpack_fields
+
+    k = 63
+    cv = 8
+    vy = np.zeros((1, cv, cv, k), np.int8)
+    my = np.zeros((1, cv, cv, 8), np.uint8)
+    sy = np.ones((1, cv, cv), np.uint8)
+    dy = np.zeros((1, cv, cv), np.int16)
+    vc = np.zeros((2, cv // 2, cv // 2, k), np.int8)
+    mc = np.zeros((2, cv // 2, cv // 2, 8), np.uint8)
+    sc = np.ones((2, cv // 2, cv // 2), np.uint8)
+    dc = np.zeros((2, cv // 2, cv // 2), np.int16)
+    q = np.zeros((3, 8, 8), np.int16)
+    codec.read_into_packed_mask16(jpeg_file, k, vy, my, sy, dy, vc, mc, sc, dc, q)
+
+    _, quant, y_dense, c_dense = codec.read_coefficients(jpeg_file)
+    np.testing.assert_array_equal(q, quant)
+    np.testing.assert_array_equal(dy[0], y_dense[0, :, :, 0, 0])  # DC exact
+
+    f = {name: jnp.asarray(a[None]) for name, a in
+         (("vy", vy), ("iy", my), ("sy", sy), ("dy", dy),
+          ("vc", vc), ("ic", mc), ("sc", sc), ("dc", dc))}
+    y, c = unpack_fields(f, "mask16")
+    y = np.asarray(y)[0]
+    c = np.asarray(c)[0]
+    # AC-scale-1 blocks are exact; others within scale/2
+    exact = sy == 1
+    np.testing.assert_array_equal(y[exact], y_dense[exact].astype(np.float32))
+    assert np.abs(y - y_dense).max() <= np.float32(sy.max()) / 2 + 0.5
+    np.testing.assert_array_equal(c[sc == 1], c_dense[sc == 1].astype(np.float32))
+
+
 def test_pack_unpack_close_to_dense(jpeg_file):
     _, quant, y_dense, c_dense = codec.read_coefficients(jpeg_file)
     vy, iy, sy, vc, ic, sc, q = _pack(jpeg_file, k=16)
