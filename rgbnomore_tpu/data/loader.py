@@ -161,6 +161,22 @@ class _BaseLoader:
         return self._iterate(total_batches, cycle=True)
 
 
+def _check_chroma_grid(path, ncomp: int, yh: int, yw: int, ch: int, cw: int):
+    """Fail loudly on non-4:2:0 color JPEGs instead of silently garbling.
+
+    Every coefficient consumer here (and in the reference, whose loaders
+    return Y (1,h,w,8,8) / CbCr (2,h/2,w/2,8,8), ``datasets.py:286-297``)
+    assumes 2x2-subsampled chroma; 4:4:4/4:2:2 inputs would decode with the
+    chroma plane stretched.  The staging resizer re-encodes to 4:2:0.
+    """
+    if ncomp == 3 and (ch != (yh + 1) // 2 or cw != (yw + 1) // 2):
+        raise ValueError(
+            f"{path}: chroma block grid {ch}x{cw} does not match 4:2:0 for "
+            f"luma {yh}x{yw}. Re-stage the dataset (data.staging resizes and "
+            "re-encodes to 4:2:0), or use transfer='dense' for the RGB domain."
+        )
+
+
 class DctCanvasLoader(_BaseLoader):
     """Loads quantized DCT coefficient canvases (the JPEG/DCT domain path)."""
 
@@ -181,7 +197,10 @@ class DctCanvasLoader(_BaseLoader):
             if ds_index < 0:  # shard-padding sentinel
                 return
             path = self.dataset.paths[ds_index]
-            codec.read_into_canvas(path, y[slot], c[slot], quant[slot])
+            ncomp, yh, yw, ch, cw, *_ = codec.read_into_canvas(
+                path, y[slot], c[slot], quant[slot]
+            )
+            _check_chroma_grid(path, ncomp, yh, yw, ch, cw)
             labels[slot] = self.dataset.labels[ds_index]
             weights[slot] = 1.0
 
@@ -282,7 +301,9 @@ class DctPackedLoader(_BaseLoader):
             if ds_index < 0:  # shard-padding sentinel
                 return
             v = row_views(buf[slot], self.layout)
-            self._read_views(self.dataset.paths[ds_index], v)
+            path = self.dataset.paths[ds_index]
+            ncomp, yh, yw, ch, cw = self._read_views(path, v)
+            _check_chroma_grid(path, ncomp, yh, yw, ch, cw)
             v["labels"][...] = self.dataset.labels[ds_index]
             v["weights"][...] = 1.0
             labels[slot] = self.dataset.labels[ds_index]

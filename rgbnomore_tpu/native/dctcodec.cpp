@@ -734,7 +734,11 @@ PyObject* read_into_packed_impl(PyObject* args, PackFmt fmt) {
   std::memset(ic.buf, 0, needs[4]);
   std::memset(sc.buf, 1, needs[5]);
   if (has_dc) {
-    std::memset(dy.buf, 0, needs[7]);
+    // Canvas area beyond the image decodes to BLACK (Y DC = -1024 -> sample
+    // 0; chroma DC = 0 -> neutral 128), matching the dense RGB loader's
+    // zero-filled pixel canvases.  In-image blocks overwrite below.
+    int16_t* dyp = static_cast<int16_t*>(dy.buf);
+    for (size_t i = 0; i < y_blocks; ++i) dyp[i] = -1024;
     std::memset(dcc.buf, 0, needs[8]);
   }
   if (setjmp(err.jump)) {

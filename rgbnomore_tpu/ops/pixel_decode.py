@@ -8,7 +8,8 @@ can ride the exact same sparse-packed coefficient transfer as the DCT domain
 reconstruct pixels on-device inside the jitted input pipeline.
 
 Each stage follows libjpeg's decode semantics so the output matches a host
-``codec.read_jpeg`` within +-2 gray levels (fixed-point vs f32 rounding):
+``codec.read_jpeg`` within +-3 gray levels (its fixed-point IDCT vs our f32
+one; the upsample and color-convert stages are integer-exact):
 
 - ``idct_plane``     — float IDCT + level shift + range limit (jidctint.c's
                        contract; we use the orthonormal basis, not AAN).
@@ -22,7 +23,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from rgbnomore_tpu.ops.basis import dct_basis_matrix
 
@@ -102,6 +102,9 @@ def decode_rgb_pixels(y: jax.Array, c: jax.Array) -> jax.Array:
 
     Grayscale sources arrive with zero chroma blocks (the loader's
     convention, ``datasets.py:291-293``), which decode to neutral Cb=Cr=128.
+    Canvas area beyond the image decodes to BLACK — the mask16 packer
+    pre-fills out-of-image Y DCs with -1024 — matching the dense RGB
+    loader's zero-filled pixel canvases.
     """
     y_plane = idct_plane(y[:, 0])
     cb = fancy_upsample_2x(idct_plane(c[:, 0]))

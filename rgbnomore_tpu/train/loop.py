@@ -65,6 +65,18 @@ def tensorboard_dir(savepath: str, cfg: Config) -> Path:
     return Path(savepath).resolve().parent / "tb_logs" / name
 
 
+def packed_defaults(domain: str) -> tuple[str, int]:
+    """Per-domain packed wire-format defaults, shared by Trainer and
+    make_loaders (the two ends of the wire MUST agree byte-for-byte).
+
+    DCT models keep the validated top-16 ``mask`` spectrum; the RGB domain
+    uses ``mask16`` at the full AC spectrum (exact DC, K=63) so
+    on-device-decoded pixels stay within IDCT rounding of a host libjpeg
+    decode.
+    """
+    return ("mask", 16) if domain == "DCT" else ("mask16", 63)
+
+
 class Trainer:
     """Owns mesh, model, state and the jitted step functions for one config."""
 
@@ -82,12 +94,9 @@ class Trainer:
         self.domain = cfg.model.domain
         assert transfer in ("packed", "dense"), transfer
         self.transfer = transfer
-        # Wire-format defaults: DCT models keep the validated top-16 `mask`
-        # spectrum; RGB packed transfer uses `mask16` at the full AC spectrum
-        # (exact DC, K=63) so on-device-decoded pixels stay within IDCT
-        # rounding of a host libjpeg decode.
-        self.packed_fmt = packed_fmt or ("mask" if self.domain == "DCT" else "mask16")
-        self.packed_k = packed_k or (16 if self.domain == "DCT" else 63)
+        d_fmt, d_k = packed_defaults(self.domain)
+        self.packed_fmt = packed_fmt or d_fmt
+        self.packed_k = packed_k or d_k
         packed_fmt = self.packed_fmt
         packed = transfer == "packed"
         if self.domain == "DCT":
@@ -108,7 +117,14 @@ class Trainer:
             rgb_eval = make_rgb_eval_pipeline(cfg, canvas=rgb_canvas)
             if packed:
                 # ship coefficients, decode to pixels on-device (see
-                # augment.pipeline.make_packed_rgb_decode)
+                # augment.pipeline.make_packed_rgb_decode); the block canvas
+                # and its half-resolution chroma grid must tile exactly
+                if rgb_canvas % 16:
+                    raise ValueError(
+                        f"RGB packed transfer needs a canvas that is a "
+                        f"multiple of 16 (got {rgb_canvas}); use "
+                        f"transfer='dense' for odd sizes"
+                    )
                 decode = make_packed_rgb_decode(rgb_canvas // 8, self.packed_k, packed_fmt)
 
                 def train_pipe(rng, packed_buf, _rt=rgb_train, _d=decode):
@@ -274,16 +290,12 @@ def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int =
             seed=cfg.seed, num_threads=num_threads, **shard_kw,
         )
     else:
+        d_fmt, d_k = packed_defaults(cfg.model.domain)
         if cfg.model.domain == "RGB":
-            # coefficients over the wire, JPEG tail decode on-device; full
-            # AC spectrum + exact DC by default (Trainer.packed_k semantics)
+            # coefficients over the wire, JPEG tail decode on-device
             canvas = (canvas if canvas != 64 else 512) // 8
-            k = packed_k or 63
-            fmt = packed_fmt or "mask16"
-        else:
-            k = packed_k or 16
-            fmt = packed_fmt or "mask"
-        fmt_kw = ({"fmt": fmt, "k": k} if transfer == "packed" else {})
+        fmt_kw = ({"fmt": packed_fmt or d_fmt, "k": packed_k or d_k}
+                  if transfer == "packed" else {})
         cls = DctPackedLoader if transfer == "packed" else DctCanvasLoader
         mk = lambda ds, shuffle, drop: cls(
             ds, bsz, canvas=canvas, shuffle=shuffle, drop_last=drop, seed=cfg.seed,

@@ -109,6 +109,47 @@ def test_packed_rgb_decode_close_to_host_decode(photo_jpegs, tmp_path):
         assert diff.mean() <= 0.2, f"img {i}: mean {diff.mean()}"
 
 
+def test_non_420_jpeg_rejected(tmp_path):
+    """4:4:4 / 4:2:2 inputs would silently decode with stretched chroma; the
+    loaders must fail loudly instead (the staging resizer emits 4:2:0)."""
+    from PIL import Image
+
+    from rgbnomore_tpu.data.loader import DctCanvasLoader
+
+    img = Image.fromarray(np.random.default_rng(0).integers(
+        0, 255, (64, 64, 3)).astype(np.uint8))
+    p = tmp_path / "s444.jpg"
+    img.save(p, quality=90, subsampling=0)  # 4:4:4
+    csv = tmp_path / "idx.csv"
+    csv.write_text(f"Filepath,Label\n{p},0\n")
+    for loader in (
+        DctPackedLoader(load_index(csv), 1, canvas=8, k=16, shuffle=False, num_threads=1),
+        DctPackedLoader(load_index(csv), 1, canvas=8, k=63, fmt="mask16",
+                        shuffle=False, num_threads=1),
+        DctCanvasLoader(load_index(csv), 1, canvas=8, shuffle=False, num_threads=1),
+    ):
+        with pytest.raises(Exception, match="4:2:0"):
+            next(iter(loader))
+
+
+def test_undersized_image_pads_black(tmp_path):
+    """mask16 canvas area beyond the image decodes to black, matching the
+    dense RGB loader's zero-filled pixel canvases."""
+    img = np.full((3, 32, 32), 200, np.uint8)
+    p = tmp_path / "small.jpg"
+    codec.write_tensor(p, img, quality=90)
+    csv = tmp_path / "idx.csv"
+    csv.write_text(f"Filepath,Label\n{p},0\n")
+    loader = DctPackedLoader(load_index(csv), 1, canvas=8, k=63, fmt="mask16",
+                             shuffle=False, num_threads=1)  # 64px canvas, 32px image
+    batch = next(iter(loader))
+    decode = make_packed_rgb_decode(canvas=8, k=63)
+    out = np.asarray(jax.jit(decode)(jnp.asarray(batch["packed"]))[0])[0]
+    assert np.abs(out[:, :32, :32] - 200).max() <= 3  # image area intact
+    np.testing.assert_array_equal(out[:, 32:, :], 0.0)  # padding is black
+    np.testing.assert_array_equal(out[:, :, 32:], 0.0)
+
+
 def test_rgb_packed_trainer_end_to_end(tmp_path):
     """RGB domain rides the packed coefficient transfer end to end."""
     from rgbnomore_tpu.train.config import generate_config
