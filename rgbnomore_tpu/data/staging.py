@@ -92,7 +92,8 @@ def resize_images(
     def work(p: Path):
         with Image.open(p) as img:
             img = img.convert("RGB").resize((size, size), Image.BILINEAR)
-            img.save(p, "JPEG", quality=95)
+            # pin 4:2:0: the coefficient loaders require 2x2-subsampled chroma
+            img.save(p, "JPEG", quality=95, subsampling="4:2:0")
 
     with ThreadPoolExecutor(workers) as pool:
         list(pool.map(work, paths))
@@ -124,7 +125,7 @@ def transcode_png_masquerade(train_dir: str | Path) -> bool:
     hits = list(Path(train_dir).rglob(PNG_MASQUERADE))
     for p in hits:
         with Image.open(p) as img:
-            img.convert("RGB").save(p, "JPEG", quality=100)
+            img.convert("RGB").save(p, "JPEG", quality=100, subsampling="4:2:0")
     return bool(hits)
 
 
