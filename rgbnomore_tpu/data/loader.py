@@ -265,8 +265,11 @@ def row_views(row: np.ndarray, layout: dict) -> dict[str, np.ndarray]:
 
 
 class DctPackedLoader(_BaseLoader):
-    """Sparse top-K packed coefficient loader: ~4x fewer host->device bytes
-    than dense int16, shipped as ONE consolidated (B, row) buffer per batch.
+    """Sparse top-K packed coefficient loader, shipped as ONE consolidated
+    (B, row) buffer per batch.  Wire formats (see ``packed_layout``): ``mask``
+    5x fewer host->device bytes than dense int16 at K=16 (DCT default),
+    ``mask16`` near-lossless full spectrum at K=63 (RGB default, 1.7x fewer
+    bytes than dense pixel canvases), ``index`` the legacy pair format.
 
     Yields ``{"packed": uint8 (B, row), "labels": ..., "weights": ...}``;
     labels/weights are host-side copies for bookkeeping — the device step
