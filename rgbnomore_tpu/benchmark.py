@@ -61,10 +61,11 @@ def benchmark_dataloader(loader, max_iters: int) -> tuple[int, float]:
 
 def benchmark_model_synthetic(cfg, iters: int, mode: str = "fbp",
                               n_devices: int | None = None) -> tuple[int, float]:
-    """fwd+bwd ('fbp') or fwd-only FPS on synthetic DCT tensors.
+    """fwd+bwd ('fbp') or fwd-only FPS on synthetic model-input tensors.
 
-    Shapes per the reference: Y (B,1,28,28,8,8), CbCr (B,2,14,14,8,8)
-    (``eval.py:114-121``), its own optimizer, >= 300 iterations.
+    Shapes per the reference: DCT Y (B,1,28,28,8,8) + CbCr (B,2,14,14,8,8)
+    (``eval.py:114-121``), RGB (B,3,input,input) (``benchmark.py:59-123``);
+    its own optimizer, >= 300 iterations.
     """
     from rgbnomore_tpu.train.config import build_model, update_runtime
     from rgbnomore_tpu.train.optim import make_optimizer
@@ -73,10 +74,16 @@ def benchmark_model_synthetic(cfg, iters: int, mode: str = "fbp",
     n_devices = n_devices or jax.device_count()
     cfg = update_runtime(cfg, n_devices)
     batch = cfg.train.batch_per_device * n_devices
-    nb = cfg.model.dct_blocks
     rng = np.random.default_rng(0)
-    y = jnp.asarray(rng.standard_normal((batch, 1, nb, nb, 8, 8)).astype(np.float32))
-    c = jnp.asarray(rng.standard_normal((batch, 2, nb // 2, nb // 2, 8, 8)).astype(np.float32))
+    if cfg.model.domain == "RGB":
+        s = cfg.model.input_size
+        inputs = (jnp.asarray(rng.standard_normal((batch, 3, s, s)).astype(np.float32)),)
+    else:
+        nb = cfg.model.dct_blocks
+        inputs = (
+            jnp.asarray(rng.standard_normal((batch, 1, nb, nb, 8, 8)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((batch, 2, nb // 2, nb // 2, 8, 8)).astype(np.float32)),
+        )
     labels = jnp.asarray(rng.integers(0, cfg.model.classes, batch).astype(np.int32))
 
     model = build_model(cfg)
@@ -89,29 +96,29 @@ def benchmark_model_synthetic(cfg, iters: int, mode: str = "fbp",
     chunk = 25
     if mode == "fbp":
         tx, _ = make_optimizer(cfg.train.lr, cfg.train.wd, 100, iters)
-        state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), (y, c))
+        state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), inputs)
         step = make_train_step(model, cfg.model.classes, use_mixup=False)
         base = jax.random.PRNGKey(1)
-        state, metrics = step(state, ((y, c), labels), base)  # compile, excluded
+        state, metrics = step(state, (inputs, labels), base)  # compile, excluded
         _ = float(metrics["loss"])
         t0 = time.perf_counter()
         done = 0
         while done < iters:
             for _ in range(min(chunk, iters - done)):
-                state, metrics = step(state, ((y, c), labels), base)
+                state, metrics = step(state, (inputs, labels), base)
                 done += 1
             _ = float(metrics["loss"])
         dt = time.perf_counter() - t0
     else:
-        params = model.init(jax.random.PRNGKey(0), y, c)
-        fwd = jax.jit(lambda p, a, b: model.apply(p, a, b))
-        out = fwd(params, y, c)
+        params = model.init(jax.random.PRNGKey(0), *inputs)
+        fwd = jax.jit(lambda p, *a: model.apply(p, *a))
+        out = fwd(params, *inputs)
         _ = float(out[0, 0])
         t0 = time.perf_counter()
         done = 0
         while done < iters:
             for _ in range(min(chunk, iters - done)):
-                out = fwd(params, y, c)
+                out = fwd(params, *inputs)
                 done += 1
             _ = float(out[0, 0])
         dt = time.perf_counter() - t0

@@ -127,6 +127,24 @@ def test_benchmark_harness_runs(tiny_imagenet):
     assert dt >= 0
 
 
+def test_benchmark_synthetic_both_domains():
+    """The synthetic fwd/fbp benchmark must build domain-correct dummies:
+    DCT (Y, CbCr) block tensors vs RGB (B, 3, S, S) pixels (the reference
+    benchmarks RGB with pixel dummies, ``benchmark.py:59-123``)."""
+    from rgbnomore_tpu.benchmark import benchmark_model_synthetic
+
+    for domain in ("dct", "rgb"):
+        cfg = generate_config("vitti", domain, batchsize=2)
+        cfg.model.depth = 1
+        cfg.model.classes = 4
+        if domain == "rgb":
+            cfg.model.input_size = 32
+        else:
+            cfg.model.dct_blocks = 8
+        n, dt = benchmark_model_synthetic(cfg, 1, "fwd", n_devices=1)
+        assert n == 2 * 300 and dt > 0  # >= 300 iters per the reference
+
+
 def test_cli_help():
     out = subprocess.run(
         [sys.executable, "train.py", "--help"], capture_output=True, text=True,
