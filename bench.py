@@ -65,7 +65,7 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from rgbnomore_tpu.data.index import load_index
-    from rgbnomore_tpu.data.loader import DctPackedLoader
+    from rgbnomore_tpu.data.loader import DctCroppedLoader
     from rgbnomore_tpu.train.config import generate_config, update_runtime
     from rgbnomore_tpu.train.loop import Trainer
 
@@ -73,10 +73,14 @@ def main() -> None:
 
     cfg = generate_config("vitti", "dct", modelver=1, batchsize=BATCH)
     cfg = update_runtime(cfg, jax.device_count())
-    trainer = Trainer(cfg)
+    # crop-before-pack transfer: host samples the crop box, resizes to the
+    # 28-block target and ships only the target grid (~31 KB/img vs 154 KB
+    # for the full packed canvas) — the reference's data movement order
+    trainer = Trainer(cfg, transfer="cropped")
     ds = load_index(index)
-    loader = DctPackedLoader(
-        ds, trainer.global_batch(), canvas=64, shuffle=True, drop_last=True,
+    loader = DctCroppedLoader(
+        ds, trainer.global_batch(), target=cfg.model.dct_blocks,
+        k=trainer.packed_k, mode="train", shuffle=True, drop_last=True,
         seed=0, num_threads=8, prefetch=4,
     )
     if len(loader) == 0:

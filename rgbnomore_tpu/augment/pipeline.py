@@ -33,6 +33,8 @@ __all__ = [
     "to_range",
     "make_train_pipeline",
     "make_eval_pipeline",
+    "make_cropped_train_pipeline",
+    "make_cropped_eval_pipeline",
 ]
 
 
@@ -230,6 +232,66 @@ def make_train_pipeline(
         return pipeline
 
     return lambda rng, y_q, c_q, quant: tail(rng, y_q, c_q, quant)
+
+
+def make_cropped_train_pipeline(
+    cfg=None,
+    *,
+    target: int = 28,
+    auglist: list[str] | None = None,
+    num_ops: int = 2,
+    magnitude: int = 3,
+    out_dtype=jnp.float32,
+    k: int = 16,
+) -> Callable:
+    """Train pipeline for the crop-before-pack wire (``DctCroppedLoader``).
+
+    The host already dequantized, cropped and resized to the target grid
+    (``codec.read_crop_resize_pack``), so the device path is just
+    unpack -> flip -> RandAugment -> ToRange — no dequant, no crop matmuls.
+    ``fn(rng, packed_buf) -> (y, cbcr, labels, weights)``.
+    """
+    if cfg is not None:
+        target = cfg.model.dct_blocks
+        auglist = list(cfg.train.auglist)
+        num_ops = cfg.train.num_ops
+        magnitude = cfg.train.augstr
+    aug = RandAugmentDCT(
+        ops_list=list(auglist or []), num_ops=num_ops, magnitude=magnitude, grid=target
+    )
+
+    def pipeline(rng, packed_buf):
+        k_flip, k_aug = jax.random.split(rng)
+        f = split_packed_batch(packed_buf, target, k, "mask16")
+        y, c = unpack_fields(f, "mask16")  # already-dequantized floats
+        y, c = random_flip(k_flip, y, c)
+        y, c = aug(k_aug, y, c)
+        return (to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype),
+                f["labels"], f["weights"])
+
+    return pipeline
+
+
+def make_cropped_eval_pipeline(
+    cfg=None,
+    *,
+    target: int = 28,
+    out_dtype=jnp.float32,
+    k: int = 16,
+) -> Callable:
+    """Eval pipeline for the crop-before-pack wire: the host already did the
+    deterministic center-crop (ViT) / full resize (swin), so the device just
+    unpacks and rescales.  ``fn(packed_buf) -> (y, cbcr, labels, weights)``."""
+    if cfg is not None:
+        target = cfg.model.dct_blocks
+
+    def pipeline(packed_buf):
+        f = split_packed_batch(packed_buf, target, k, "mask16")
+        y, c = unpack_fields(f, "mask16")
+        return (to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype),
+                f["labels"], f["weights"])
+
+    return pipeline
 
 
 def make_eval_pipeline(

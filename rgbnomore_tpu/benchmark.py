@@ -159,34 +159,44 @@ def benchmark_pipeline(trainer, loader, iters: int, mode: str = "train") -> tupl
 
 def benchmark_model(cfg, iters: int, index_train: str, index_val: str,
                     num_threads: int = 4, verbose: int = 1,
-                    num_devices: int | None = None) -> dict[str, float]:
-    """Run all six measurements and log FPS (``eval.py:53-181``)."""
+                    num_devices: int | None = None,
+                    transfer: str | None = None) -> dict[str, float]:
+    """Run all six measurements and log FPS (``eval.py:53-181``).
+
+    ``verbose``: 0 silent (results only returned), 1 final table, 2 adds
+    per-measurement progress — the reference's tier semantics
+    (``train.py:46``).  ``transfer`` defaults to the per-domain default
+    (cropped for DCT, packed for RGB).
+    """
     from rgbnomore_tpu.train.loop import Trainer, make_loaders
 
+    transfer = transfer or ("cropped" if cfg.model.domain == "DCT" else "packed")
     devices = jax.devices()[:num_devices] if num_devices else None
-    trainer = Trainer(cfg, devices=devices)
+    trainer = Trainer(cfg, devices=devices, transfer=transfer)
     loaders = make_loaders(cfg, index_train, index_val, num_threads=num_threads,
                            global_batch=trainer.global_batch(), transfer=trainer.transfer)
     trainer.create_state(max(1, len(loaders["train"])))
 
     results: dict[str, float] = {}
 
-    n, dt = benchmark_dataloader(loaders["train"], iters)
-    results["train_loader_fps"] = n / dt if dt else 0.0
-    n, dt = benchmark_dataloader(loaders["test"], iters)
-    results["test_loader_fps"] = n / dt if dt else 0.0
+    def record(name: str, n: int, dt: float) -> None:
+        results[name] = n / dt if dt else 0.0
+        if verbose >= 2:
+            log.info("%s: %d imgs in %.2fs", name, n, dt)
 
-    n, dt = benchmark_model_synthetic(cfg, iters, "fbp", n_devices=trainer.n_devices)
-    results["model_fbp_fps"] = n / dt
-    n, dt = benchmark_model_synthetic(cfg, iters, "fwd", n_devices=trainer.n_devices)
-    results["model_fwd_fps"] = n / dt
+    record("train_loader_fps", *benchmark_dataloader(loaders["train"], iters))
+    record("test_loader_fps", *benchmark_dataloader(loaders["test"], iters))
+    record("model_fbp_fps",
+           *benchmark_model_synthetic(cfg, iters, "fbp", n_devices=trainer.n_devices))
+    record("model_fwd_fps",
+           *benchmark_model_synthetic(cfg, iters, "fwd", n_devices=trainer.n_devices))
+    record("train_pipeline_fps",
+           *benchmark_pipeline(trainer, loaders["train"], iters, "train"))
+    record("test_pipeline_fps",
+           *benchmark_pipeline(trainer, loaders["test"], iters, "test"))
 
-    n, dt = benchmark_pipeline(trainer, loaders["train"], iters, "train")
-    results["train_pipeline_fps"] = n / dt if dt else 0.0
-    n, dt = benchmark_pipeline(trainer, loaders["test"], iters, "test")
-    results["test_pipeline_fps"] = n / dt if dt else 0.0
-
-    n_dev = trainer.n_devices
-    for k, v in results.items():
-        log.info("%s: %.1f img/s total (%.1f per device)", k, v, v / n_dev)
+    if verbose >= 1:
+        n_dev = trainer.n_devices
+        for k, v in results.items():
+            log.info("%s: %.1f img/s total (%.1f per device)", k, v, v / n_dev)
     return results

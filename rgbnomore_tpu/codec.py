@@ -35,6 +35,10 @@ __all__ = [
     "read_into_packed",
     "read_into_packed_mask",
     "read_into_packed_mask16",
+    "read_crop_resize_pack",
+    "CROP_RANDOM",
+    "CROP_CENTER",
+    "CROP_FULL",
     "write_coefficients",
     "quantize_at_quality",
     "write_tensor",
@@ -159,6 +163,49 @@ def read_into_packed_mask16(
     return _dctcodec.read_into_packed_mask16(
         str(path), k, vy, my, sy, dy, yh_c, yw_c, vc, mc, sc, dc, ch_c, cw_c,
         quant_out,
+    )
+
+
+CROP_RANDOM = 0  # RandomResizedCrop_DCT box distribution (train)
+CROP_CENTER = 1  # ResizedCenterCrop_DCT (ViT val)
+CROP_FULL = 2  # whole-image Resize_DCT (swin val)
+
+
+def read_crop_resize_pack(
+    path: str,
+    k: int,
+    mode: int,
+    uniforms: np.ndarray,
+    pack,
+    vy: np.ndarray, my: np.ndarray, sy: np.ndarray, dy: np.ndarray,
+    vc: np.ndarray, mc: np.ndarray, sc: np.ndarray, dc: np.ndarray,
+    quant_out: np.ndarray,
+    *,
+    scale: tuple[float, float] = (0.05, 1.0),
+    ratio: float = 1.0,
+):
+    """Decode + host-side crop/resize to the target grid + mask16 pack.
+
+    The crop-before-pack hot path: samples the reference's exact crop-box
+    distribution on the TRUE image block grid
+    (``custom_transforms.py:557-629``; ``mode`` selects train random crop /
+    val center crop / swin full resize), dequantizes + clamps the window,
+    resizes it to ``(pack.t_y, pack.t_c)`` block grids with the gcd operators
+    from :mod:`rgbnomore_tpu.data.croppack`, and packs only the target blocks
+    in the ``mask16`` wire format — ~5x fewer host->device bytes than the
+    full-canvas packed formats.  Output values are DEQUANTIZED floats
+    quantized to the wire (exact int16 DC, int8 x uint8-scale ACs); the
+    device must NOT re-apply the quant table.
+
+    ``uniforms``: float64 (12,) — 10 area draws + 2 offset draws (mode 0
+    only).  ``ratio``: crop/resize ratio for mode 1 (e.g. 28/32).
+    Returns ``(ncomp, yh, yw, ch, cw, bi, bj, bh, bw)`` with the sampled box.
+    """
+    return _dctcodec.read_crop_resize_pack(
+        str(path), k, mode, pack.t_y, pack.t_c, pack.max_src,
+        np.ascontiguousarray(uniforms, np.float64), float(scale[0]),
+        float(scale[1]), float(ratio), pack.evens, pack.spec, pack.data,
+        vy, my, sy, dy, vc, mc, sc, dc, quant_out,
     )
 
 

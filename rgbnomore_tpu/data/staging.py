@@ -20,6 +20,7 @@ log = logging.getLogger(__name__)
 
 __all__ = [
     "verify_tars",
+    "load_valprep_mapping",
     "extract_imagenet_tars",
     "resize_images",
     "apply_valprep",
@@ -100,12 +101,36 @@ def resize_images(
     return len(paths)
 
 
-def apply_valprep(val_dir: str | Path, mapping: dict[str, str]) -> None:
-    """Move flat val images into per-class directories (valprep.sh semantics).
+def load_valprep_mapping() -> dict[str, str]:
+    """The ImageNet val filename -> wnid mapping (50,000 entries).
 
-    ``mapping``: image filename -> wnid class directory name.
+    Vendored in ``assets/val_wnid_map.csv.gz`` — the same public data the
+    reference ships as ``valprep.sh`` (one ``mv`` per image; originally from
+    soumith/imagenet-multiGPU.torch, ``valprep.sh:1-2``).
     """
+    import gzip
+
+    asset = Path(__file__).resolve().parents[2] / "assets" / "val_wnid_map.csv.gz"
+    mapping: dict[str, str] = {}
+    with gzip.open(asset, "rt") as f:
+        for line in f:
+            fname, wnid = line.strip().split(",")
+            mapping[fname] = wnid
+    return mapping
+
+
+def apply_valprep(val_dir: str | Path, mapping: dict[str, str] | None = None) -> int:
+    """Move flat val images into per-class directories (valprep.sh semantics,
+    run by the reference during staging, ``datasets.py:150-170``).
+
+    ``mapping``: image filename -> wnid class directory name; defaults to the
+    vendored ImageNet mapping (:func:`load_valprep_mapping`).  Returns the
+    number of files moved (idempotent: already-moved files are skipped).
+    """
+    if mapping is None:
+        mapping = load_valprep_mapping()
     val_dir = Path(val_dir)
+    moved = 0
     for fname, wnid in mapping.items():
         src = val_dir / fname
         if not src.exists():
@@ -113,6 +138,8 @@ def apply_valprep(val_dir: str | Path, mapping: dict[str, str]) -> None:
         dst_dir = val_dir / wnid
         dst_dir.mkdir(exist_ok=True)
         src.rename(dst_dir / fname)
+        moved += 1
+    return moved
 
 
 def transcode_png_masquerade(train_dir: str | Path) -> bool:
@@ -162,6 +189,10 @@ def stage_dataset(
         verify_tars(datapath)
         extract_imagenet_tars(datapath, temp, workers=workers)
     transcode_png_masquerade(temp / "train")
+    if (temp / "val").exists():
+        moved = apply_valprep(temp / "val")
+        if moved:
+            log.info("valprep: moved %d val images into wnid directories", moved)
     if not no_resize:
         n = resize_images(temp, size=512, workers=workers)
         log.info("Resized %d images to 512x512", n)
@@ -175,6 +206,12 @@ def build_index_csv(root: str | Path, out_csv: str | Path, split: str = "train")
     """
     root = Path(root) / split
     classes = sorted(d.name for d in root.iterdir() if d.is_dir())
+    if not classes:
+        raise ValueError(
+            f"{root} has no class directories — for a flat val tree run "
+            "apply_valprep (stage_dataset does this automatically) before "
+            "indexing"
+        )
     rows = []
     for label, cls in enumerate(classes):
         for p in sorted((root / cls).iterdir()):

@@ -28,6 +28,9 @@ def build(force: bool = False) -> Path:
     cmd = [
         "g++",
         "-O3",
+        "-march=native",  # the crop+resize f32 loops need AVX to keep up
+        "-funroll-loops",
+        "-ffp-contract=fast",
         "-std=c++17",
         "-shared",
         "-fPIC",
@@ -37,7 +40,11 @@ def build(force: bool = False) -> Path:
         "-o",
         str(out),
     ]
-    subprocess.run(cmd, check=True)
+    try:
+        subprocess.run(cmd, check=True)
+    except subprocess.CalledProcessError:
+        cmd.remove("-march=native")  # exotic hosts: portable fallback
+        subprocess.run(cmd, check=True)
     return out
 
 

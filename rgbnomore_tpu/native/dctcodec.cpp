@@ -21,9 +21,11 @@
 #include <Python.h>
 
 #include <algorithm>
+#include <cmath>
 #include <cstdio>
 #include <csetjmp>
 #include <cstring>
+#include <functional>
 #include <cstdint>
 #include <string>
 #include <vector>
@@ -640,6 +642,257 @@ void pack_block_topk_mask16(const int16_t* block, int k, int8_t* values,
   for (int j = n; j < k; ++j) values[j] = 0;
 }
 
+// Float-input mask16 packer for host-resized (dequantized) coefficients.
+// Same wire layout as pack_block_topk_mask16: exact int16 DC, int8 top-K ACs
+// with a uint8 integer scale, 8-byte occupancy mask, values in ascending
+// position order.
+void pack_block_topk_mask16_f32(const float* block, int k, int8_t* values,
+                                uint8_t* mask, uint8_t* scale_out,
+                                int16_t* dc_out) {
+  float dc = std::nearbyint(block[0]);
+  if (dc > 32767.f) dc = 32767.f;
+  if (dc < -32768.f) dc = -32768.f;
+  *dc_out = static_cast<int16_t>(dc);
+  float av[64];
+  float maxabs = 0.f;
+  for (int i = 1; i < 64; ++i) {
+    av[i] = std::fabs(block[i]);
+    if (av[i] > maxabs) maxabs = av[i];
+  }
+  int scale = static_cast<int>(std::ceil(maxabs / 127.f));
+  if (scale < 1) scale = 1;
+  if (scale > 255) scale = 255;
+  *scale_out = static_cast<uint8_t>(scale);
+  // candidates: values that quantize to a nonzero int8
+  int idx[64];
+  int n = 0;
+  const float thr = 0.5f * scale;
+  for (int i = 1; i < 64; ++i) {
+    if (av[i] >= thr) idx[n++] = i;
+  }
+  if (n > k) {
+    std::partial_sort(idx, idx + k, idx + n,
+                      [&](int a, int b) { return av[a] > av[b]; });
+    n = k;
+    std::sort(idx, idx + n);
+  }
+  for (int j = 0; j < n; ++j) {
+    long v = std::lround(block[idx[j]] / scale);
+    if (v > 127) v = 127;
+    if (v < -127) v = -127;
+    values[j] = static_cast<int8_t>(v);
+    mask[idx[j] >> 3] |= static_cast<uint8_t>(1u << (idx[j] & 7));
+  }
+  for (int j = n; j < k; ++j) values[j] = 0;
+}
+
+// ---------------------------------------------------------------------------
+// Host-side crop + resize + pack (the crop-before-pack transfer path).
+//
+// The reference crops and resizes per-sample on the CPU *before* anything
+// moves to the accelerator (utils/custom_transforms.py:527-669, :819-911);
+// round 1 shipped the full 64x64-block canvas and cropped on-device, paying
+// ~5x more host->device bytes than needed.  This path samples the reference's
+// exact crop-box distribution on the TRUE image block grid, dequantizes the
+// crop window, applies the same gcd-based spectral resize the device used
+// (operators passed in from ops/basis.py, exploiting their I_g (x) G
+// block-diagonal structure) and packs only the target grid.
+// ---------------------------------------------------------------------------
+
+// Exact analog of the reference's choose_closest (custom_transforms.py:571-578)
+// incl. torch.round's round-half-to-even via std::nearbyint.
+long choose_closest(long val, const int32_t* evens, int n_evens, long maxval) {
+  const long last = evens[n_evens - 1];
+  if (val <= last) {
+    long best = evens[0];
+    long bd = std::labs(evens[0] - val);
+    for (int i = 1; i < n_evens; ++i) {
+      long d = std::labs(evens[i] - val);
+      if (d < bd) {  // first minimum wins, like torch.argmin
+        bd = d;
+        best = evens[i];
+      }
+    }
+    return best;
+  }
+  long m = static_cast<long>(std::nearbyint(static_cast<double>(val) / last)) * last;
+  if (m > maxval) m -= last;
+  return m;
+}
+
+// One resize-operator table entry (built by data/croppack.py): source size s
+// resizes to the fixed target via R = I_g (x) G with G (b*8, a*8) f32.
+struct OpEntry {
+  int src, g, a, b;
+  const float* data;  // (b*8, a*8) row-major
+};
+
+// Extract + dequantize + clamp the crop window of one component into a dense
+// f32 plane laid out (h*8, w*8) with row index = block_row*8 + u.  Blocks
+// outside the image grid are zero (the reference's crop_dct zero-pads
+// out-of-range coords, utils/dct_ops.py:584-599).
+void extract_window_f32(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays,
+                        int comp, const int16_t* quant, long bi, long bj,
+                        long bh, long bw, float* win) {
+  const long W8 = bw * kDct;
+  const long hb = cinfo.comp_info[comp].height_in_blocks;
+  const long wb = cinfo.comp_info[comp].width_in_blocks;
+  if (bi < 0 || bj < 0 || bi + bh > hb || bj + bw > wb)  // zero-pad case only
+    std::memset(win, 0, sizeof(float) * bh * kDct * W8);
+  float fq[kDct2];
+  for (int i = 0; i < kDct2; ++i) fq[i] = static_cast<float>(quant[i]);
+  for (long r = 0; r < bh; ++r) {
+    const long src_r = bi + r;
+    if (src_r < 0 || src_r >= hb) continue;
+    JBLOCKARRAY row_ptrs = (*cinfo.mem->access_virt_barray)(
+        reinterpret_cast<j_common_ptr>(&cinfo), arrays[comp],
+        static_cast<JDIMENSION>(src_r), 1, FALSE);
+    for (long c = 0; c < bw; ++c) {
+      const long src_c = bj + c;
+      if (src_c < 0 || src_c >= wb) continue;
+      const int16_t* blk = reinterpret_cast<int16_t*>(row_ptrs[0][src_c]);
+      for (int u = 0; u < kDct; ++u) {
+        float* dst = win + (r * kDct + u) * W8 + c * kDct;
+        const float* bq = fq + u * kDct;
+        const int16_t* bv = blk + u * kDct;
+        for (int v = 0; v < kDct; ++v) {
+          float f = static_cast<float>(bv[v]) * bq[v];
+          // dequant clamp, datasets.py:286-297
+          f = f > 1016.f ? 1016.f : f;
+          f = f < -1024.f ? -1024.f : f;
+          dst[v] = f;
+        }
+      }
+    }
+  }
+}
+
+// tmp (t8, w8) = (I_g (x) G) @ win (h8, w8);   G is (b8, a8), h = g*a, t = g*b.
+void apply_rows(const OpEntry& op, const float* win, long w8, float* tmp) {
+  const int a8 = op.a * kDct, b8 = op.b * kDct;
+  for (int m = 0; m < op.g; ++m) {
+    const float* win_g = win + static_cast<size_t>(m) * a8 * w8;
+    float* tmp_g = tmp + static_cast<size_t>(m) * b8 * w8;
+    for (int r = 0; r < b8; ++r) {
+      const float* grow = op.data + static_cast<size_t>(r) * a8;
+      float* out = tmp_g + static_cast<size_t>(r) * w8;
+      std::memset(out, 0, sizeof(float) * w8);
+      for (int q = 0; q < a8; ++q) {
+        const float gq = grow[q];
+        if (gq == 0.f) continue;
+        const float* src = win_g + static_cast<size_t>(q) * w8;
+        for (long x = 0; x < w8; ++x) out[x] += gq * src[x];
+      }
+    }
+  }
+}
+
+// out (t8, tw8) = tmp (t8, w8) @ (I_g (x) G)^T along columns.  Uses a
+// transposed copy of G so the inner loop runs contiguously over output
+// columns (vectorizes; the dot-product form had 8/16-long reductions).
+void apply_cols(const OpEntry& op, const float* tmp, long t8_rows, float* out,
+                std::vector<float>* gt_scratch) {
+  const int a8 = op.a * kDct, b8 = op.b * kDct;
+  const long w8 = static_cast<long>(op.g) * a8;
+  const long tw8 = static_cast<long>(op.g) * b8;
+  gt_scratch->resize(static_cast<size_t>(a8) * b8);
+  float* gt = gt_scratch->data();
+  for (int p = 0; p < b8; ++p)
+    for (int q = 0; q < a8; ++q) gt[static_cast<size_t>(q) * b8 + p] = op.data[static_cast<size_t>(p) * a8 + q];
+  for (long y = 0; y < t8_rows; ++y) {
+    const float* trow = tmp + y * w8;
+    float* orow = out + y * tw8;
+    std::memset(orow, 0, sizeof(float) * tw8);
+    for (int m = 0; m < op.g; ++m) {
+      const float* tg = trow + static_cast<size_t>(m) * a8;
+      float* og = orow + static_cast<size_t>(m) * b8;
+      for (int q = 0; q < a8; ++q) {
+        const float tq = tg[q];
+        if (tq == 0.f) continue;
+        const float* gq = gt + static_cast<size_t>(q) * b8;
+        for (int p = 0; p < b8; ++p) og[p] += tq * gq[p];
+      }
+    }
+  }
+}
+
+// Pack a resized (t*8, t*8) f32 plane into mask16 wire fields on a t x t grid.
+void pack_plane_mask16(const float* plane, int t, int k, int8_t* values,
+                       uint8_t* mask, uint8_t* scales, int16_t* dcs) {
+  const long T8 = static_cast<long>(t) * kDct;
+  float blk[kDct2];
+  for (int r = 0; r < t; ++r) {
+    for (int c = 0; c < t; ++c) {
+      for (int u = 0; u < kDct; ++u)
+        std::memcpy(blk + u * kDct, plane + (static_cast<long>(r) * kDct + u) * T8 + c * kDct,
+                    kDct * sizeof(float));
+      const size_t off = static_cast<size_t>(r) * t + c;
+      pack_block_topk_mask16_f32(blk, k, values + off * k, mask + off * 8,
+                                 scales + off, dcs + off);
+    }
+  }
+}
+
+enum CropMode { kCropRandom = 0, kCropCenter = 1, kCropFull = 2 };
+
+// The box-sampling logic.  mode 0: reference RandomResizedCrop_DCT.get_params
+// with ratio fixed 1:1 (custom_transforms.py:557-629) driven by caller
+// uniforms (10 area draws + 2 offset draws); mode 1: ResizedCenterCrop_DCT
+// (custom_transforms.py:850-884); mode 2: whole-image resize (swin val,
+// datasets.py:381).  All sizes land in [1, max_src]; offsets are floored to
+// chroma multiples.
+void sample_box(CropMode mode, long height, long width, const double* u,
+                double scale_lo, double scale_hi, double ratio,
+                const int32_t* evens, int n_evens, long* bi, long* bj, long* bh,
+                long* bw) {
+  if (mode == kCropFull) {
+    *bi = 0; *bj = 0; *bh = height; *bw = width;
+    return;
+  }
+  if (mode == kCropCenter) {
+    long w = choose_closest(std::lround(std::nearbyint(ratio * width)), evens, n_evens, width);
+    long h = choose_closest(std::lround(std::nearbyint(ratio * height)), evens, n_evens, height);
+    // floor-div (python //) handles negative values for tiny images
+    auto fdiv = [](long a, long b) { return a >= 0 ? a / b : -((-a + b - 1) / b); };
+    *bi = fdiv(fdiv(height - h, 2), 2) * 2;
+    *bj = fdiv(fdiv(width - w, 2), 2) * 2;
+    *bh = std::max(1L, h);
+    *bw = std::max(1L, w);
+    return;
+  }
+  const double area = static_cast<double>(height) * width;
+  for (int t = 0; t < 10; ++t) {
+    const double target_area = area * (scale_lo + u[t] * (scale_hi - scale_lo));
+    long w = std::lround(std::nearbyint(std::sqrt(target_area)));
+    w = choose_closest(w, evens, n_evens, width);
+    long h = w;  // ratio fixed 1:1 (datasets.py:357, :373)
+    w = std::max(2L, w);
+    h = std::max(2L, h);
+    if (w <= width && h <= height) {
+      long i = static_cast<long>(u[10] * (height - h + 1));
+      if (i > height - h) i = height - h;
+      long j = static_cast<long>(u[11] * (width - w + 1));
+      if (j > width - w) j = width - w;
+      *bi = i / 2 * 2;
+      *bj = j / 2 * 2;
+      *bh = std::max(1L, h);
+      *bw = std::max(1L, w);
+      return;
+    }
+  }
+  // fallback: central crop.  With ratio fixed 1:1 the reference sets both
+  // sides to min(width, height) before snapping each against its own maxval
+  // (custom_transforms.py:615-627).
+  const long md = std::min(width, height);
+  long w = choose_closest(md, evens, n_evens, width);
+  long h = choose_closest(md, evens, n_evens, height);
+  auto fdiv = [](long a, long b) { return a >= 0 ? a / b : -((-a + b - 1) / b); };
+  *bi = fdiv(fdiv(height - h, 2), 2) * 2;
+  *bj = fdiv(fdiv(width - w, 2), 2) * 2;
+  *bh = std::max(1L, h);
+  *bw = std::max(1L, w);
+}
+
 enum PackFmt { kPackIndex = 0, kPackMask = 1, kPackMask16 = 2 };
 
 void pack_component(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays, int comp,
@@ -788,6 +1041,193 @@ PyObject* read_into_packed_impl(PyObject* args, PackFmt fmt) {
   return Py_BuildValue("iiiii", info.num_components, info.height_in_blocks[0],
                        info.width_in_blocks[0], info.height_in_blocks[1],
                        info.width_in_blocks[1]);
+}
+
+// --- read_crop_resize_pack(path, k, mode, t_y, t_c, max_src, uniforms,
+//         scale_lo, scale_hi, ratio, evens, spec, data,
+//         vy, my, sy, dy, vc, mc, sc, dc, quant)
+//     -> (ncomp, yh, yw, ch, cw, bi, bj, bh, bw) ------------------------------
+// The crop-before-pack hot path: Huffman decode, sample the crop box on the
+// true image block grid, dequantize + clamp the window, resize it to the
+// (t_y, t_c) target grids with the caller's gcd operators, and mask16-pack
+// only the target blocks.  GIL released around all of it.
+PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
+  const char* path;
+  int k, mode, t_y, t_c, max_src;
+  double scale_lo, scale_hi, ratio;
+  Py_buffer ub, eb, sb, db, vy, my, sy, dy, vc, mc, sc, dcc, qb;
+  if (!PyArg_ParseTuple(args, "siiiiiw*dddw*w*w*w*w*w*w*w*w*w*w*w*", &path, &k,
+                        &mode, &t_y, &t_c, &max_src, &ub, &scale_lo, &scale_hi,
+                        &ratio, &eb, &sb, &db, &vy, &my, &sy, &dy, &vc, &mc,
+                        &sc, &dcc, &qb))
+    return nullptr;
+
+  std::vector<Py_buffer*> bufs = {&ub, &eb, &sb, &db, &vy, &my, &sy,
+                                  &dy, &vc, &mc, &sc, &dcc, &qb};
+  auto fail = [&](PyObject* exc, const char* msg) -> PyObject* {
+    for (auto* b : bufs) PyBuffer_Release(b);
+    PyErr_SetString(exc, msg);
+    return nullptr;
+  };
+
+  const size_t yblk = static_cast<size_t>(t_y) * t_y;
+  const size_t cblk = 2 * static_cast<size_t>(t_c) * t_c;
+  const int n_evens = static_cast<int>(eb.len / sizeof(int32_t));
+  const size_t n_spec = sb.len / (10 * sizeof(int32_t));
+  if (ub.len < 12 * static_cast<Py_ssize_t>(sizeof(double)) || n_evens < 1 ||
+      n_spec < static_cast<size_t>(max_src))
+    return fail(PyExc_ValueError, "uniforms/evens/spec buffers too small");
+  if (static_cast<size_t>(vy.len) < yblk * k || static_cast<size_t>(my.len) < yblk * 8 ||
+      static_cast<size_t>(sy.len) < yblk ||
+      static_cast<size_t>(dy.len) < yblk * sizeof(int16_t) ||
+      static_cast<size_t>(vc.len) < cblk * k || static_cast<size_t>(mc.len) < cblk * 8 ||
+      static_cast<size_t>(sc.len) < cblk ||
+      static_cast<size_t>(dcc.len) < cblk * sizeof(int16_t) ||
+      static_cast<size_t>(qb.len) < 3 * kDct2 * sizeof(int16_t))
+    return fail(PyExc_ValueError, "packed output buffer too small");
+
+  const double* uniforms = static_cast<const double*>(ub.buf);
+  const int32_t* evens = static_cast<const int32_t*>(eb.buf);
+  const int32_t* spec = static_cast<const int32_t*>(sb.buf);
+  const float* opdata = static_cast<const float*>(db.buf);
+  const size_t n_opdata = db.len / sizeof(float);
+
+  // lookup: spec row src-1 must describe source size src
+  auto get_ops = [&](long src, OpEntry* oy, OpEntry* oc, std::string* err) {
+    if (src < 1 || static_cast<size_t>(src) > n_spec) {
+      *err = "crop size outside operator table";
+      return false;
+    }
+    const int32_t* row = spec + (src - 1) * 10;
+    if (row[0] != src) {
+      *err = "operator table not indexed by size";
+      return false;
+    }
+    *oy = OpEntry{static_cast<int>(src), row[1], row[2], row[3], opdata + row[4]};
+    *oc = OpEntry{row[5], row[6], row[7], row[8], opdata + row[9]};
+    if (oy->g * oy->a != src || oy->g * oy->b != t_y ||
+        oc->g * oc->a != oc->src || oc->g * oc->b != t_c ||
+        static_cast<size_t>(row[4]) + static_cast<size_t>(oy->b) * kDct * oy->a * kDct > n_opdata ||
+        static_cast<size_t>(row[9]) + static_cast<size_t>(oc->b) * kDct * oc->a * kDct > n_opdata) {
+      *err = "inconsistent operator table entry";
+      return false;
+    }
+    return true;
+  };
+
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    for (auto* b : bufs) PyBuffer_Release(b);
+    PyErr_Format(PyExc_FileNotFoundError, "Unable to open file for reading: %s", path);
+    return nullptr;
+  }
+
+  jpeg_decompress_struct cinfo{};
+  ErrorMgr err{};
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = error_exit;
+
+  bool ok = true;
+  std::string msg;
+  CoeffInfo info;
+  long bi = 0, bj = 0, bh = 0, bw = 0;
+
+  Py_BEGIN_ALLOW_THREADS;
+  std::memset(vy.buf, 0, yblk * k);
+  std::memset(my.buf, 0, yblk * 8);
+  std::memset(sy.buf, 1, yblk);
+  std::memset(dy.buf, 0, yblk * sizeof(int16_t));
+  std::memset(vc.buf, 0, cblk * k);
+  std::memset(mc.buf, 0, cblk * 8);
+  std::memset(sc.buf, 1, cblk);
+  std::memset(dcc.buf, 0, cblk * sizeof(int16_t));  // neutral chroma (gray)
+  if (setjmp(err.jump)) {
+    ok = false;
+    msg = err.message;
+  } else {
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
+    info.num_components = cinfo.num_components;
+    for (int i = 0; i < cinfo.num_components && i < 3; ++i) {
+      info.height_in_blocks[i] = cinfo.comp_info[i].height_in_blocks;
+      info.width_in_blocks[i] = cinfo.comp_info[i].width_in_blocks;
+    }
+    int16_t* qdat = static_cast<int16_t*>(qb.buf);
+    extract_quant(cinfo, 0, qdat);
+    if (cinfo.num_components > 1) {
+      extract_quant(cinfo, 1, qdat + kDct2);
+      extract_quant(cinfo, 2, qdat + 2 * kDct2);
+    } else {
+      for (int i = kDct2; i < 3 * kDct2; ++i) qdat[i] = 1;
+    }
+
+    // sample the crop box on the true (clamped) block grid
+    const long height = std::min<long>(info.height_in_blocks[0], max_src);
+    const long width = std::min<long>(info.width_in_blocks[0], max_src);
+    sample_box(static_cast<CropMode>(mode), height, width, uniforms, scale_lo,
+               scale_hi, ratio, evens, n_evens, &bi, &bj, &bh, &bw);
+
+    OpEntry oyh, och, oyw, ocw;
+    std::string operr;
+    if (!get_ops(bh, &oyh, &och, &operr) || !get_ops(bw, &oyw, &ocw, &operr)) {
+      ok = false;
+      msg = operr;
+    } else {
+      // persistent per-thread scratch: fresh MB-sized vectors each call cost
+      // more in page faults + double zeroing than the resize math itself
+      thread_local std::vector<float> win, tmp, out, gt;
+      const long t8 = static_cast<long>(t_y) * kDct;
+      win.resize(static_cast<size_t>(bh) * kDct * bw * kDct);
+      tmp.resize(static_cast<size_t>(t8) * bw * kDct);
+      out.resize(static_cast<size_t>(t8) * t8);
+      extract_window_f32(cinfo, arrays, 0, qdat, bi, bj, bh, bw, win.data());
+      apply_rows(oyh, win.data(), bw * kDct, tmp.data());
+      apply_cols(oyw, tmp.data(), t8, out.data(), &gt);
+      pack_plane_mask16(out.data(), t_y, k, static_cast<int8_t*>(vy.buf),
+                        static_cast<uint8_t*>(my.buf),
+                        static_cast<uint8_t*>(sy.buf),
+                        static_cast<int16_t*>(dy.buf));
+
+      if (cinfo.num_components > 1) {
+        // chroma box: offsets halved (multiples of 2 -> exact), sizes from
+        // the operator table (h//2 for crops, ceil for full-image resize)
+        const long tc8 = static_cast<long>(t_c) * kDct;
+        const long csh = och.src, csw = ocw.src;
+        thread_local std::vector<float> cwin, ctmp, cout;
+        cwin.resize(static_cast<size_t>(csh) * kDct * csw * kDct);
+        ctmp.resize(static_cast<size_t>(tc8) * csw * kDct);
+        cout.resize(static_cast<size_t>(tc8) * tc8);
+        for (int comp = 1; comp < 3; ++comp) {
+          extract_window_f32(cinfo, arrays, comp, qdat + comp * kDct2, bi / 2,
+                             bj / 2, csh, csw, cwin.data());
+          apply_rows(och, cwin.data(), csw * kDct, ctmp.data());
+          apply_cols(ocw, ctmp.data(), tc8, cout.data(), &gt);
+          const size_t plane = static_cast<size_t>(t_c) * t_c;
+          const size_t po = (comp - 1) * plane;
+          pack_plane_mask16(cout.data(), t_c, k,
+                            static_cast<int8_t*>(vc.buf) + po * k,
+                            static_cast<uint8_t*>(mc.buf) + po * 8,
+                            static_cast<uint8_t*>(sc.buf) + po,
+                            static_cast<int16_t*>(dcc.buf) + po);
+        }
+      }
+      jpeg_finish_decompress(&cinfo);
+    }
+  }
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  Py_END_ALLOW_THREADS;
+
+  for (auto* b : bufs) PyBuffer_Release(b);
+  if (!ok) {
+    PyErr_Format(PyExc_RuntimeError, "crop_resize_pack: %s (%s)", msg.c_str(), path);
+    return nullptr;
+  }
+  return Py_BuildValue("iiiiillll", info.num_components, info.height_in_blocks[0],
+                       info.width_in_blocks[0], info.height_in_blocks[1],
+                       info.width_in_blocks[1], bi, bj, bh, bw);
 }
 
 PyObject* py_read_into_packed(PyObject*, PyObject* args) {
@@ -1096,6 +1536,8 @@ PyMethodDef methods[] = {
      "Top-K pack with 8-byte occupancy bitmasks (25 B/block at K=16)."},
     {"read_into_packed_mask16", py_read_into_packed_mask16, METH_VARARGS,
      "Bitmask pack with exact int16 DC + int8 top-K ACs (K+11 B/block)."},
+    {"read_crop_resize_pack", py_read_crop_resize_pack, METH_VARARGS,
+     "Decode + host crop/resize to the target grid + mask16 pack."},
     {"write_coefficients", py_write_coefficients, METH_VARARGS,
      "Write DCT coefficients to a JPEG file."},
     {"quantize_at_quality", py_quantize_at_quality, METH_VARARGS,

@@ -102,6 +102,7 @@ def generate_config(
     seed: int | None = None,
     amp: bool | None = None,
     ampdtype: str | None = None,
+    deterministic: bool | None = None,
 ) -> Config:
     """Build the per-architecture preset config with CLI overrides applied.
 
@@ -148,6 +149,11 @@ def generate_config(
         cfg.model.patch_norm = True
         cfg.model.patch_size = 4
         cfg.train.amp = True
+        # Documented divergence: the reference trains swinv2 with fp16
+        # autocast + GradScaler (configs.py:18 default + train.py:153); on TPU
+        # the native AMP dtype is bf16 (same exponent range as f32, no scaler
+        # needed).  ``--ampdtype fp16`` still honors fp16 if explicitly asked.
+        cfg.model.amp_dtype = "bf16"
         cfg.train.batch_size = 512
     else:
         raise ValueError(f"Unknown model arch: {modelarch}")
@@ -182,6 +188,8 @@ def generate_config(
         cfg.train.amp = bool(amp)
     if ampdtype is not None:
         cfg.model.amp_dtype = ampdtype
+    if deterministic is not None:
+        cfg.train.deterministic = bool(deterministic)
 
     if cfg.model.domain == "RGB":
         cfg.train.lr = 1e-3 if lr is None else lr
@@ -216,15 +224,68 @@ def update_runtime(cfg: Config, num_devices: int) -> Config:
     return cfg
 
 
+def amp_compute_dtype(cfg: Config):
+    """Resolve the AMP compute dtype, honoring ``cfg.model.amp_dtype``.
+
+    The reference autocasts to the configured dtype (``train.py:153``); here
+    ``bf16`` is the TPU-native choice (no GradScaler needed — same exponent
+    range as f32), ``fp16`` is honored when explicitly requested (with a
+    warning: the reference pairs it with a GradScaler, which bf16 obviates
+    and fp16-on-TPU does not get), anything else is rejected loudly.
+    """
+    import logging
+
+    import jax.numpy as jnp
+
+    if not cfg.train.amp:
+        return jnp.float32
+    name = str(cfg.model.amp_dtype).lower()
+    if name in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    if name in ("fp16", "float16", "half"):
+        logging.getLogger(__name__).warning(
+            "ampdtype=fp16 honored, but fp16 has no GradScaler here (the "
+            "reference uses one, pipeline_utils.py:540-541); bf16 is the "
+            "recommended TPU AMP dtype"
+        )
+        return jnp.float16
+    raise ValueError(
+        f"unsupported ampdtype {cfg.model.amp_dtype!r}: use 'bf16' or 'fp16'"
+    )
+
+
+def configure_determinism(cfg: Config) -> None:
+    """Apply ``cfg.train.deterministic`` (reference: cudnn/cublas determinism
+    knobs, ``pipeline_utils.py:299-303``).
+
+    TPU/CPU XLA executables are already run-to-run deterministic for a fixed
+    program + seed, so the CUDA knobs have no TPU analog.  What remains:
+    - ``jax_threefry_partitionable``: PRNG values independent of sharding
+      layout, so random aug/mixup streams reproduce across device counts;
+    - the GPU determinism flag, set before backend init in case this code
+      ever runs on a GPU backend (harmless elsewhere).
+    """
+    if not cfg.train.deterministic:
+        return
+    import os
+
+    import jax
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_gpu_deterministic_ops" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_gpu_deterministic_ops=true").strip()
+    jax.config.update("jax_threefry_partitionable", True)
+
+
 def build_model(cfg: Config, dtype=None):
     """Instantiate the Flax model for a config (reference: get_model,
     ``pipeline_utils.py:325-373``)."""
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401  (dtype default below)
 
     from rgbnomore_tpu.models import SwinTransformerV2, ViT
 
     if dtype is None:
-        dtype = jnp.bfloat16 if cfg.train.amp else jnp.float32
+        dtype = amp_compute_dtype(cfg)
     if cfg.model.arch == "swinv2":
         return SwinTransformerV2(
             img_size=cfg.model.input_size,

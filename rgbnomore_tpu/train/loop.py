@@ -92,14 +92,26 @@ class Trainer:
         self.model = build_model(cfg)
         self.canvas = canvas
         self.domain = cfg.model.domain
-        assert transfer in ("packed", "dense"), transfer
+        assert transfer in ("packed", "dense", "cropped"), transfer
+        if transfer == "cropped" and cfg.model.domain != "DCT":
+            raise ValueError("transfer='cropped' is DCT-domain only; RGB ships "
+                             "full-canvas coefficients for on-device decode")
         self.transfer = transfer
         d_fmt, d_k = packed_defaults(self.domain)
         self.packed_fmt = packed_fmt or d_fmt
-        self.packed_k = packed_k or d_k
+        self.packed_k = packed_k or (16 if transfer == "cropped" else d_k)
         packed_fmt = self.packed_fmt
         packed = transfer == "packed"
-        if self.domain == "DCT":
+        if transfer == "cropped":
+            # host crop-before-pack: device does unpack+flip+aug only
+            from rgbnomore_tpu.augment.pipeline import (
+                make_cropped_eval_pipeline,
+                make_cropped_train_pipeline,
+            )
+
+            self.train_pipe = make_cropped_train_pipeline(cfg, k=self.packed_k)
+            self.eval_pipe = make_cropped_eval_pipeline(cfg, k=self.packed_k)
+        elif self.domain == "DCT":
             self.train_pipe = make_train_pipeline(
                 cfg, canvas=canvas, packed=packed, packed_fmt=packed_fmt,
                 packed_k=self.packed_k,
@@ -178,7 +190,7 @@ class Trainer:
         use_mixup = self.cfg.model.mixup
         alpha = self.cfg.train.mixup_alpha
 
-        packed = self.transfer == "packed"
+        packed = self.transfer in ("packed", "cropped")
         rgb = self.domain == "RGB"
 
         def step(state, batch, rng):
@@ -217,7 +229,7 @@ class Trainer:
     def _fused_eval_step(self):
         pipe = self.eval_pipe
         model = self.model
-        packed = self.transfer == "packed"
+        packed = self.transfer in ("packed", "cropped")
 
         rgb = self.domain == "RGB"
 
@@ -255,7 +267,7 @@ class Trainer:
         return jax.device_put(x, self._bs)
 
     def put_batch(self, batch: dict) -> dict:
-        if self.transfer == "packed":
+        if self.transfer in ("packed", "cropped"):
             # one transfer: everything (incl. labels/weights) rides in 'packed'
             return {"packed": self._put(batch["packed"])}
         return {k: self._put(v) for k, v in batch.items()}
@@ -283,7 +295,21 @@ def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int =
     # 1/P slice of every global batch (assembled in Trainer._put)
     bsz = (global_batch or cfg.train.batch_size) // jax.process_count()
     shard_kw = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
-    if cfg.model.domain == "RGB" and transfer == "dense":
+    if transfer == "cropped":
+        from rgbnomore_tpu.data.loader import DctCroppedLoader
+
+        # host crop-before-pack: train gets the random-resized-crop box
+        # distribution, eval the deterministic center crop (ViT,
+        # datasets.py:364) or whole-image resize (swin, datasets.py:381)
+        eval_mode = "full" if cfg.model.arch == "swinv2" else "center"
+        k = packed_k or 16
+        mk = lambda ds, shuffle, drop: DctCroppedLoader(
+            ds, bsz, target=cfg.model.dct_blocks, k=k,
+            mode="train" if shuffle else eval_mode, max_src=canvas,
+            shuffle=shuffle, drop_last=drop, seed=cfg.seed,
+            num_threads=num_threads, **shard_kw,
+        )
+    elif cfg.model.domain == "RGB" and transfer == "dense":
         rgb_canvas = canvas if canvas != 64 else 512
         mk = lambda ds, shuffle, drop: RgbCanvasLoader(
             ds, bsz, image_size=rgb_canvas, shuffle=shuffle, drop_last=drop,
@@ -379,16 +405,22 @@ def train_and_eval(
             loaders["train"].set_epoch(epoch)
             t0 = time.time()
             n_img = 0
+            pending: list = []  # per-step device loss scalars, fetched lazily
             for i, batch in enumerate(loaders["train"]):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:
                     break
                 trainer.state, metrics = step_fn(trainer.state, trainer.put_batch(batch), base_rng)
                 n_img += int(batch["weights"].sum())
-                # fetch the loss scalar only at the logging cadence — a
-                # per-step device->host read would serialize transfer with
-                # compute (the dominant cost on thin links)
+                # EVERY iteration's loss feeds the window (reference:
+                # LocalWindow per-iter, train.py:178-187), but the device->
+                # host reads happen only at the logging cadence: the scalars
+                # pile up as device arrays (already materialized by then), so
+                # no per-step sync serializes transfer with compute
+                pending.append(metrics["loss"])
                 if verbose >= 2 or i % 50 == 0 or i + 1 == n_train_batches:
-                    running = window.put(float(metrics["loss"]), returnval=True)
+                    for v in pending:
+                        running = window.put(float(v), returnval=True)
+                    pending.clear()
                     it = int(trainer.state.step)
                     writer.scalar("Loss/Peritr_Train", running, it)
                     if verbose >= 2:
@@ -397,6 +429,8 @@ def train_and_eval(
                             f"loss {running:.4f} lr {float(trainer.schedule(it)):.3e}",
                             end="", flush=True,
                         )
+            for v in pending:  # flush a max_steps_per_epoch early break
+                window.put(float(v))
             dt = time.time() - t0
             val = trainer.evaluate(loaders["minival"])
             tval = trainer.evaluate(loaders["trainval"])

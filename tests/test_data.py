@@ -137,6 +137,82 @@ def test_staging_png_masquerade(tmp_path):
     assert y.shape == (1, 2, 2, 8, 8)
 
 
+def test_staging_valprep_end_to_end(tmp_path):
+    """Synthetic-tar staging produces a CLASSED val tree + index CSV
+    (VERDICT item 4: the reference runs valprep.sh during staging,
+    ``datasets.py:150-170``)."""
+    import tarfile
+
+    from rgbnomore_tpu.data.staging import (
+        build_index_csv,
+        load_valprep_mapping,
+        stage_dataset,
+    )
+
+    mapping = load_valprep_mapping()
+    assert len(mapping) == 50000  # the full vendored valprep.sh data
+    assert mapping["ILSVRC2012_val_00000001.JPEG"] == "n01751748"
+
+    # build ILSVRC-shaped tars: train = outer tar of per-class tars,
+    # val = flat images named like the real val set
+    rng = np.random.default_rng(0)
+    src = tmp_path / "src"
+    src.mkdir()
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+
+    def jpg(path):
+        arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr, "RGB").save(path, "JPEG")
+
+    class_tars = []
+    for cls in ("n01440764", "n01443537"):
+        cdir = scratch / cls
+        cdir.mkdir()
+        for i in range(2):
+            jpg(cdir / f"{cls}_{i}.JPEG")
+        ct = scratch / f"{cls}.tar"
+        with tarfile.open(ct, "w") as t:
+            for p in sorted(cdir.iterdir()):
+                t.add(p, arcname=p.name)
+        class_tars.append(ct)
+    with tarfile.open(src / "ILSVRC2012_img_train.tar", "w") as t:
+        for ct in class_tars:
+            t.add(ct, arcname=ct.name)
+    val_names = ["ILSVRC2012_val_00000001.JPEG", "ILSVRC2012_val_00000002.JPEG"]
+    for name in val_names:
+        jpg(scratch / name)
+    with tarfile.open(src / "ILSVRC2012_img_val.tar", "w") as t:
+        for name in val_names:
+            t.add(scratch / name, arcname=name)
+
+    staged = tmp_path / "staged"
+    stage_dataset(src, staged, workers=2, no_resize=True)
+
+    # val tree is classed per the vendored mapping — NOT flat
+    assert (staged / "val" / "n01751748" / val_names[0]).exists()
+    assert (staged / "val" / "n09193705" / val_names[1]).exists()
+    assert not (staged / "val" / val_names[0]).exists()
+    n = build_index_csv(staged, tmp_path / "val_idx.csv", "val")
+    assert n == 2
+    ds = load_index(tmp_path / "val_idx.csv")
+    assert len(ds) == 2 and set(ds.labels.tolist()) == {0, 1}
+    n = build_index_csv(staged, tmp_path / "train_idx.csv", "train")
+    assert n == 4
+
+
+def test_index_builder_rejects_flat_val(tmp_path):
+    """build_index_csv must fail loudly on an un-valprepped flat val dir."""
+    from rgbnomore_tpu.data.staging import build_index_csv
+
+    flat = tmp_path / "val"
+    flat.mkdir()
+    arr = np.zeros((16, 16, 3), np.uint8)
+    Image.fromarray(arr, "RGB").save(flat / "ILSVRC2012_val_00000001.JPEG")
+    with pytest.raises(ValueError, match="valprep"):
+        build_index_csv(tmp_path, tmp_path / "idx.csv", "val")
+
+
 def test_loader_early_abandon_does_not_leak_producer(mini_dataset):
     """Breaking out of iteration must stop the producer thread promptly."""
     import threading

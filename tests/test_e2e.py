@@ -145,6 +145,81 @@ def test_benchmark_synthetic_both_domains():
         assert n == 2 * 300 and dt > 0  # >= 300 iters per the reference
 
 
+def test_loss_window_fed_every_iteration(tiny_imagenet, tmp_path, monkeypatch):
+    """Loss/Train must mean the per-iteration windowed mean (reference feeds
+    LocalWindow every iter, train.py:178-187), even though device->host
+    fetches only happen at the logging cadence."""
+    from rgbnomore_tpu.train import loop as loop_mod
+    from rgbnomore_tpu.utils.metrics import LocalWindow
+
+    puts = []
+
+    class RecordingWindow(LocalWindow):
+        def put(self, value, returnval=False):
+            puts.append(float(value))
+            return super().put(value, returnval)
+
+    monkeypatch.setattr(loop_mod, "LocalWindow", RecordingWindow)
+    cfg = _tiny_cfg()
+    cfg.train.epochs = 1
+    loop_mod.train_and_eval(
+        cfg, str(tiny_imagenet / "index_train.csv"), str(tiny_imagenet / "index_val.csv"),
+        savepath=str(tmp_path / "m.msgpack"), run_train=True, run_eval=False,
+        verbose=0, canvas=8, num_threads=2,
+    )
+    # 12 imgs, split 0.25 -> 9 train, batch 8 drop_last -> 1 step/epoch... the
+    # loader decides; just assert one put per executed optimizer step
+    assert len(puts) >= 1 and all(np.isfinite(p) for p in puts)
+    from rgbnomore_tpu.data.index import load_index, split_train_minival
+
+    train_ds, _, _ = split_train_minival(
+        load_index(tiny_imagenet / "index_train.csv"), split=cfg.train.split,
+        seed=cfg.seed,
+    )
+    expected_steps = (len(train_ds) // cfg.train.batch_size) * cfg.train.epochs
+    assert len(puts) == expected_steps
+
+
+def test_ampdtype_honored_and_rejected():
+    import jax.numpy as jnp
+
+    from rgbnomore_tpu.train.config import amp_compute_dtype
+
+    cfg = generate_config("vitb", "dct")  # preset: amp on, bf16
+    assert amp_compute_dtype(cfg) == jnp.bfloat16
+    cfg = generate_config("swinv2", "dct")  # TPU divergence: bf16, not fp16
+    assert cfg.model.amp_dtype == "bf16"
+    cfg = generate_config("vitb", "dct", ampdtype="fp16")
+    assert amp_compute_dtype(cfg) == jnp.float16  # honored, not coerced
+    cfg = generate_config("vitti", "dct")  # amp off -> f32 regardless
+    assert amp_compute_dtype(cfg) == jnp.float32
+    cfg = generate_config("vitb", "dct", ampdtype="int8")
+    with pytest.raises(ValueError, match="ampdtype"):
+        amp_compute_dtype(cfg)
+
+
+def test_configure_determinism(monkeypatch):
+    import os
+
+    import jax
+
+    from rgbnomore_tpu.train.config import configure_determinism
+
+    prev = jax.config.jax_threefry_partitionable
+    monkeypatch.setenv("XLA_FLAGS", os.environ.get("XLA_FLAGS", ""))
+    try:
+        cfg = generate_config("vitti", "dct", deterministic=True)
+        assert cfg.train.deterministic
+        configure_determinism(cfg)
+        assert jax.config.jax_threefry_partitionable
+        assert "--xla_gpu_deterministic_ops" in os.environ.get("XLA_FLAGS", "")
+        # off by default: no global state touched
+        cfg_off = generate_config("vitti", "dct")
+        assert not cfg_off.train.deterministic
+    finally:
+        jax.config.update("jax_threefry_partitionable", prev)
+
+
 def test_cli_help():
     out = subprocess.run(
         [sys.executable, "train.py", "--help"], capture_output=True, text=True,

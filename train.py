@@ -46,9 +46,12 @@ def parse_args():
     p.add_argument("--savepath", type=str, default="./models/ViT_v1.msgpack")
     p.add_argument("--loadpath", type=str, default="")
     p.add_argument("--load_ckpt", type=str, default="")
-    p.add_argument("--transfer", type=str, default="packed", choices=("packed", "dense"),
-                   help="Host->device coefficient format: 'packed' (sparse top-K int8, "
-                        "~4x fewer bytes, near-lossless) or 'dense' (exact int16)")
+    p.add_argument("--transfer", type=str, default="",
+                   choices=("", "cropped", "packed", "dense"),
+                   help="Host->device format: 'cropped' (host crop+resize, packs only "
+                        "the target grid — DCT default, ~25x fewer bytes than dense), "
+                        "'packed' (sparse top-K full canvas — RGB default), 'dense' "
+                        "(exact int16 canvas). Empty = per-domain default.")
     p.add_argument("--deterministic", action="store_true")
     p.add_argument("--verbose", type=int, default=1, help="0/1/2 logging verbosity")
     # hyperparameter overrides (-1 / '' sentinel = use preset)
@@ -102,12 +105,14 @@ def main():
         seed=None if args.seed < 0 else args.seed,
         amp=None if args.amp < 0 else bool(args.amp),
         ampdtype=None if args.ampdtype == "" else args.ampdtype,
+        deterministic=args.deterministic or None,
     )
-    if args.deterministic:
-        import os
+    from rgbnomore_tpu.train.config import configure_determinism
 
-        os.environ.setdefault("XLA_FLAGS", "")
-        os.environ["XLA_FLAGS"] += " --xla_gpu_deterministic_ops=true"
+    configure_determinism(cfg)
+    # per-domain transfer default: host crop-before-pack for DCT (the
+    # reference's data movement order), packed coefficients for RGB
+    transfer = args.transfer or ("cropped" if cfg.model.domain == "DCT" else "packed")
 
     if args.stage_data:
         from rgbnomore_tpu.data.staging import stage_dataset
@@ -125,7 +130,8 @@ def main():
 
         benchmark_model(cfg, args.benchmark, index_train, index_val,
                         num_threads=args.num_cpus, verbose=args.verbose,
-                        num_devices=None if args.num_devices < 0 else args.num_devices)
+                        num_devices=None if args.num_devices < 0 else args.num_devices,
+                        transfer=transfer)
         return
 
     if args.train or args.eval:
@@ -144,7 +150,7 @@ def main():
             num_threads=args.num_cpus,
             max_steps_per_epoch=args.max_steps_per_epoch or None,
             num_devices=None if args.num_devices < 0 else args.num_devices,
-            transfer=args.transfer,
+            transfer=transfer,
         )
 
     if args.delete_dataset:
