@@ -36,6 +36,8 @@ __all__ = [
     "read_into_packed_mask",
     "read_into_packed_mask16",
     "read_crop_resize_pack",
+    "read_crop_resize_pack_row",
+    "crop_row_offsets",
     "CROP_RANDOM",
     "CROP_CENTER",
     "CROP_FULL",
@@ -206,6 +208,41 @@ def read_crop_resize_pack(
         np.ascontiguousarray(uniforms, np.float64), float(scale[0]),
         float(scale[1]), float(ratio), pack.evens, pack.spec, pack.data,
         vy, my, sy, dy, vc, mc, sc, dc, quant_out,
+    )
+
+
+def crop_row_offsets(layout: dict) -> np.ndarray:
+    """int64 (11,) byte offsets for :func:`read_crop_resize_pack_row`, in the
+    fixed field order [vy, iy, sy, dy, vc, ic, sc, dc, quant, labels,
+    weights], taken from a ``data.loader.packed_layout`` mask16 layout."""
+    order = ("vy", "iy", "sy", "dy", "vc", "ic", "sc", "dc", "quant",
+             "labels", "weights")
+    return np.asarray([layout[f][0] for f in order], np.int64)
+
+
+def read_crop_resize_pack_row(
+    path: str,
+    k: int,
+    mode: int,
+    uniforms: np.ndarray,
+    pack,
+    row: np.ndarray,
+    offsets: np.ndarray,
+    label: int,
+    weight: float = 1.0,
+    *,
+    scale: tuple[float, float] = (0.05, 1.0),
+    ratio: float = 1.0,
+):
+    """Loader hot-path variant of :func:`read_crop_resize_pack`: writes every
+    per-sample field (including label/weight) into ONE consolidated uint8 row
+    buffer, so the Python worker makes a single call with no per-image numpy
+    views.  ``offsets`` from :func:`crop_row_offsets`."""
+    return _dctcodec.read_crop_resize_pack_row(
+        str(path), k, mode, pack.t_y, pack.t_c, pack.max_src,
+        uniforms, float(scale[0]), float(scale[1]), float(ratio),
+        pack.evens, pack.spec, pack.data, row, offsets, int(label),
+        float(weight),
     )
 
 

@@ -356,6 +356,7 @@ class DctCroppedLoader(_BaseLoader):
         self.center_ratio = center_ratio or target / (target + 4)
         self.pack = build_op_pack(target, max_src)
         self.layout = packed_layout(target, k, "mask16")
+        self._offsets = codec.crop_row_offsets(self.layout)
 
     def _decode_batch(self, pool: ThreadPoolExecutor, idx: np.ndarray,
                       batch_index: int = 0) -> dict:
@@ -366,22 +367,23 @@ class DctCroppedLoader(_BaseLoader):
         # up front so the thread pool stays RNG-free
         rng = np.random.default_rng([self.seed, self.epoch, batch_index])
         uniforms = rng.random((self.batch_size, 12))
+        ds_labels = self.dataset.labels
+        ds_paths = self.dataset.paths
 
         def work(slot: int, ds_index: int):
             if ds_index < 0:  # shard-padding sentinel
                 return
-            v = row_views(buf[slot], self.layout)
-            path = self.dataset.paths[ds_index]
-            ncomp, yh, yw, ch, cw, *_box = codec.read_crop_resize_pack(
+            label = int(ds_labels[ds_index])
+            path = ds_paths[ds_index]
+            # single GIL-free call writes every field (incl. label/weight)
+            # straight into the consolidated row
+            ncomp, yh, yw, ch, cw, *_box = codec.read_crop_resize_pack_row(
                 path, self.k, self.mode_int, uniforms[slot], self.pack,
-                v["vy"], v["iy"], v["sy"], v["dy"],
-                v["vc"], v["ic"], v["sc"], v["dc"], v["quant"],
+                buf[slot], self._offsets, label, 1.0,
                 scale=self.scale, ratio=self.center_ratio,
             )
             _check_chroma_grid(path, ncomp, yh, yw, ch, cw)
-            v["labels"][...] = self.dataset.labels[ds_index]
-            v["weights"][...] = 1.0
-            labels[slot] = self.dataset.labels[ds_index]
+            labels[slot] = label
             weights[slot] = 1.0
 
         list(pool.map(lambda args: work(*args), enumerate(idx)))

@@ -663,25 +663,34 @@ void pack_block_topk_mask16_f32(const float* block, int k, int8_t* values,
   if (scale < 1) scale = 1;
   if (scale > 255) scale = 255;
   *scale_out = static_cast<uint8_t>(scale);
-  // candidates: values that quantize to a nonzero int8
-  int idx[64];
-  int n = 0;
-  const float thr = 0.5f * scale;
+  // Top-K by QUANTIZED magnitude via an O(n) counting select (a sort-based
+  // top-K costs ~25% of the whole crop+pack path): bucket each AC by its
+  // int8 wire magnitude, walk buckets high->low to find the cut level, keep
+  // everything above it plus position-order ties at the level.  Kept values
+  // are written in ascending position order (the mask-format invariant).
+  const float inv_scale = 1.0f / static_cast<float>(scale);
+  uint8_t qmag[64];
+  int cnt[128] = {0};
   for (int i = 1; i < 64; ++i) {
-    if (av[i] >= thr) idx[n++] = i;
+    int q = static_cast<int>(av[i] * inv_scale + 0.5f);
+    if (q > 127) q = 127;
+    qmag[i] = static_cast<uint8_t>(q);
+    ++cnt[q];
   }
-  if (n > k) {
-    std::partial_sort(idx, idx + k, idx + n,
-                      [&](int a, int b) { return av[a] > av[b]; });
-    n = k;
-    std::sort(idx, idx + n);
-  }
-  for (int j = 0; j < n; ++j) {
-    long v = std::lround(block[idx[j]] / scale);
+  int level = 127, above = 0;
+  while (level > 0 && above + cnt[level] <= k) above += cnt[level--];
+  int quota = k - above;  // how many ties at `level` still fit
+  int n = 0;
+  for (int i = 1; i < 64 && n < k; ++i) {
+    const int q = qmag[i];
+    if (q == 0 || q < level) continue;
+    if (q == level && quota <= 0) continue;
+    if (q == level) --quota;
+    long v = std::lround(block[i] / scale);
     if (v > 127) v = 127;
     if (v < -127) v = -127;
-    values[j] = static_cast<int8_t>(v);
-    mask[idx[j] >> 3] |= static_cast<uint8_t>(1u << (idx[j] & 7));
+    values[n++] = static_cast<int8_t>(v);
+    mask[i >> 3] |= static_cast<uint8_t>(1u << (i & 7));
   }
   for (int j = n; j < k; ++j) values[j] = 0;
 }
@@ -762,6 +771,72 @@ void extract_window_f32(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays,
           f = f < -1024.f ? -1024.f : f;
           dst[v] = f;
         }
+      }
+    }
+  }
+}
+
+// Fused extract + row resize: tmp (t8, w8) = (I_g (x) G) @ dequant(window).
+// Streams one a8-row group (L1-sized) at a time instead of materializing the
+// full (h8, w8) window — saves an ~800 KB cache round trip per 56-crop.
+void extract_resize_rows(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays,
+                         int comp, const int16_t* quant, long bi, long bj,
+                         long bh, long bw, const OpEntry& op, float* tmp,
+                         std::vector<float>* group_scratch) {
+  const long w8 = bw * kDct;
+  const int a8 = op.a * kDct, b8 = op.b * kDct;
+  group_scratch->resize(static_cast<size_t>(a8) * w8);
+  float* grp = group_scratch->data();
+  const long hb = cinfo.comp_info[comp].height_in_blocks;
+  const long wb = cinfo.comp_info[comp].width_in_blocks;
+  float fq[kDct2];
+  for (int i = 0; i < kDct2; ++i) fq[i] = static_cast<float>(quant[i]);
+  for (int m = 0; m < op.g; ++m) {
+    // extract + dequant + clamp this group's a rows of blocks
+    for (int ar = 0; ar < op.a; ++ar) {
+      const long r = static_cast<long>(m) * op.a + ar;
+      const long src_r = bi + r;
+      float* rows = grp + static_cast<size_t>(ar) * kDct * w8;
+      if (src_r < 0 || src_r >= hb) {
+        std::memset(rows, 0, sizeof(float) * kDct * w8);
+        continue;
+      }
+      JBLOCKARRAY row_ptrs = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), arrays[comp],
+          static_cast<JDIMENSION>(src_r), 1, FALSE);
+      for (long c = 0; c < bw; ++c) {
+        const long src_c = bj + c;
+        if (src_c < 0 || src_c >= wb) {
+          for (int u = 0; u < kDct; ++u)
+            std::memset(rows + static_cast<size_t>(u) * w8 + c * kDct, 0,
+                        kDct * sizeof(float));
+          continue;
+        }
+        const int16_t* blk = reinterpret_cast<int16_t*>(row_ptrs[0][src_c]);
+        for (int u = 0; u < kDct; ++u) {
+          float* dst = rows + static_cast<size_t>(u) * w8 + c * kDct;
+          const float* bq = fq + u * kDct;
+          const int16_t* bv = blk + u * kDct;
+          for (int v = 0; v < kDct; ++v) {
+            float f = static_cast<float>(bv[v]) * bq[v];
+            f = f > 1016.f ? 1016.f : f;
+            f = f < -1024.f ? -1024.f : f;
+            dst[v] = f;
+          }
+        }
+      }
+    }
+    // multiply while hot: tmp group rows = G @ grp
+    float* tmp_g = tmp + static_cast<size_t>(m) * b8 * w8;
+    for (int r = 0; r < b8; ++r) {
+      const float* grow = op.data + static_cast<size_t>(r) * a8;
+      float* outr = tmp_g + static_cast<size_t>(r) * w8;
+      std::memset(outr, 0, sizeof(float) * w8);
+      for (int q = 0; q < a8; ++q) {
+        const float gq = grow[q];
+        if (gq == 0.f) continue;
+        const float* src = grp + static_cast<size_t>(q) * w8;
+        for (long x = 0; x < w8; ++x) outr[x] += gq * src[x];
       }
     }
   }
@@ -1043,14 +1118,170 @@ PyObject* read_into_packed_impl(PyObject* args, PackFmt fmt) {
                        info.width_in_blocks[1]);
 }
 
+// ---------------------------------------------------------------------------
+// Crop-before-pack core (GIL-free; wrappers below handle Python buffers).
+// Huffman decode, sample the crop box on the true image block grid,
+// dequantize + clamp the window, resize it to the (t_y, t_c) target grids
+// with the caller's gcd group operators, mask16-pack only the target blocks.
+// ---------------------------------------------------------------------------
+struct CropPackPtrs {
+  int8_t* vy;
+  uint8_t* my;
+  uint8_t* sy;
+  int16_t* dy;
+  int8_t* vc;
+  uint8_t* mc;
+  uint8_t* sc;
+  int16_t* dc;
+  int16_t* quant;
+};
+
+bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
+                    int max_src, const double* uniforms, double scale_lo,
+                    double scale_hi, double ratio, const int32_t* evens,
+                    int n_evens, const int32_t* spec, size_t n_spec,
+                    const float* opdata, size_t n_opdata, const CropPackPtrs& o,
+                    CoeffInfo* info, long box[4], std::string* msg) {
+  const size_t yblk = static_cast<size_t>(t_y) * t_y;
+  const size_t cblk = 2 * static_cast<size_t>(t_c) * t_c;
+
+  auto get_ops = [&](long src, OpEntry* oy, OpEntry* oc) {
+    if (src < 1 || static_cast<size_t>(src) > n_spec) {
+      *msg = "crop size outside operator table";
+      return false;
+    }
+    const int32_t* row = spec + (src - 1) * 10;
+    if (row[0] != src) {
+      *msg = "operator table not indexed by size";
+      return false;
+    }
+    *oy = OpEntry{static_cast<int>(src), row[1], row[2], row[3], opdata + row[4]};
+    *oc = OpEntry{row[5], row[6], row[7], row[8], opdata + row[9]};
+    if (oy->g * oy->a != src || oy->g * oy->b != t_y ||
+        oc->g * oc->a != oc->src || oc->g * oc->b != t_c ||
+        static_cast<size_t>(row[4]) + static_cast<size_t>(oy->b) * kDct * oy->a * kDct > n_opdata ||
+        static_cast<size_t>(row[9]) + static_cast<size_t>(oc->b) * kDct * oc->a * kDct > n_opdata) {
+      *msg = "inconsistent operator table entry";
+      return false;
+    }
+    return true;
+  };
+
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    *msg = std::string("Unable to open file for reading: ") + path;
+    return false;
+  }
+
+  jpeg_decompress_struct cinfo{};
+  ErrorMgr err{};
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = error_exit;
+
+  bool ok = true;
+  std::memset(o.vy, 0, yblk * k);
+  std::memset(o.my, 0, yblk * 8);
+  std::memset(o.sy, 1, yblk);
+  std::memset(o.dy, 0, yblk * sizeof(int16_t));
+  std::memset(o.vc, 0, cblk * k);
+  std::memset(o.mc, 0, cblk * 8);
+  std::memset(o.sc, 1, cblk);
+  std::memset(o.dc, 0, cblk * sizeof(int16_t));  // neutral chroma (gray)
+  if (setjmp(err.jump)) {
+    ok = false;
+    *msg = err.message;
+  } else {
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
+    info->num_components = cinfo.num_components;
+    for (int i = 0; i < cinfo.num_components && i < 3; ++i) {
+      info->height_in_blocks[i] = cinfo.comp_info[i].height_in_blocks;
+      info->width_in_blocks[i] = cinfo.comp_info[i].width_in_blocks;
+    }
+    extract_quant(cinfo, 0, o.quant);
+    if (cinfo.num_components > 1) {
+      extract_quant(cinfo, 1, o.quant + kDct2);
+      extract_quant(cinfo, 2, o.quant + 2 * kDct2);
+    } else {
+      for (int i = kDct2; i < 3 * kDct2; ++i) o.quant[i] = 1;
+    }
+
+    // sample the crop box on the true (clamped) block grid
+    const long height = std::min<long>(info->height_in_blocks[0], max_src);
+    const long width = std::min<long>(info->width_in_blocks[0], max_src);
+    long bi, bj, bh, bw;
+    sample_box(mode, height, width, uniforms, scale_lo, scale_hi, ratio,
+               evens, n_evens, &bi, &bj, &bh, &bw);
+    box[0] = bi; box[1] = bj; box[2] = bh; box[3] = bw;
+
+    OpEntry oyh, och, oyw, ocw;
+    if (!get_ops(bh, &oyh, &och) || !get_ops(bw, &oyw, &ocw)) {
+      ok = false;
+    } else {
+      // persistent per-thread scratch: fresh MB-sized vectors each call cost
+      // more in page faults + double zeroing than the resize math itself
+      thread_local std::vector<float> win, tmp, out, gt, grp;
+      const long t8 = static_cast<long>(t_y) * kDct;
+      const float* plane;
+      if (bh == t_y && bw == t_y) {  // identity crop: extract + pack only
+        win.resize(static_cast<size_t>(bh) * kDct * bw * kDct);
+        extract_window_f32(cinfo, arrays, 0, o.quant, bi, bj, bh, bw, win.data());
+        plane = win.data();
+      } else {
+        tmp.resize(static_cast<size_t>(t8) * bw * kDct);
+        out.resize(static_cast<size_t>(t8) * t8);
+        extract_resize_rows(cinfo, arrays, 0, o.quant, bi, bj, bh, bw, oyh,
+                            tmp.data(), &grp);
+        apply_cols(oyw, tmp.data(), t8, out.data(), &gt);
+        plane = out.data();
+      }
+      pack_plane_mask16(plane, t_y, k, o.vy, o.my, o.sy, o.dy);
+
+      if (cinfo.num_components > 1) {
+        // chroma box: offsets halved (multiples of 2 -> exact), sizes from
+        // the operator table (h//2 for crops, ceil for full-image resize)
+        const long tc8 = static_cast<long>(t_c) * kDct;
+        const long csh = och.src, csw = ocw.src;
+        thread_local std::vector<float> cwin, ctmp, cout;
+        const bool cident = csh == t_c && csw == t_c;
+        if (cident) {
+          cwin.resize(static_cast<size_t>(csh) * kDct * csw * kDct);
+        } else {
+          ctmp.resize(static_cast<size_t>(tc8) * csw * kDct);
+          cout.resize(static_cast<size_t>(tc8) * tc8);
+        }
+        for (int comp = 1; comp < 3; ++comp) {
+          const float* cplane;
+          if (cident) {
+            extract_window_f32(cinfo, arrays, comp, o.quant + comp * kDct2,
+                               bi / 2, bj / 2, csh, csw, cwin.data());
+            cplane = cwin.data();
+          } else {
+            extract_resize_rows(cinfo, arrays, comp, o.quant + comp * kDct2,
+                                bi / 2, bj / 2, csh, csw, och, ctmp.data(), &grp);
+            apply_cols(ocw, ctmp.data(), tc8, cout.data(), &gt);
+            cplane = cout.data();
+          }
+          const size_t plane_n = static_cast<size_t>(t_c) * t_c;
+          const size_t po = (comp - 1) * plane_n;
+          pack_plane_mask16(cplane, t_c, k, o.vc + po * k, o.mc + po * 8,
+                            o.sc + po, o.dc + po);
+        }
+      }
+      jpeg_finish_decompress(&cinfo);
+    }
+  }
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return ok;
+}
+
 // --- read_crop_resize_pack(path, k, mode, t_y, t_c, max_src, uniforms,
 //         scale_lo, scale_hi, ratio, evens, spec, data,
 //         vy, my, sy, dy, vc, mc, sc, dc, quant)
 //     -> (ncomp, yh, yw, ch, cw, bi, bj, bh, bw) ------------------------------
-// The crop-before-pack hot path: Huffman decode, sample the crop box on the
-// true image block grid, dequantize + clamp the window, resize it to the
-// (t_y, t_c) target grids with the caller's gcd operators, and mask16-pack
-// only the target blocks.  GIL released around all of it.
 PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
   const char* path;
   int k, mode, t_y, t_c, max_src;
@@ -1064,9 +1295,9 @@ PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
 
   std::vector<Py_buffer*> bufs = {&ub, &eb, &sb, &db, &vy, &my, &sy,
                                   &dy, &vc, &mc, &sc, &dcc, &qb};
-  auto fail = [&](PyObject* exc, const char* msg) -> PyObject* {
+  auto fail = [&](PyObject* exc, const char* m) -> PyObject* {
     for (auto* b : bufs) PyBuffer_Release(b);
-    PyErr_SetString(exc, msg);
+    PyErr_SetString(exc, m);
     return nullptr;
   };
 
@@ -1086,138 +1317,22 @@ PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
       static_cast<size_t>(qb.len) < 3 * kDct2 * sizeof(int16_t))
     return fail(PyExc_ValueError, "packed output buffer too small");
 
-  const double* uniforms = static_cast<const double*>(ub.buf);
-  const int32_t* evens = static_cast<const int32_t*>(eb.buf);
-  const int32_t* spec = static_cast<const int32_t*>(sb.buf);
-  const float* opdata = static_cast<const float*>(db.buf);
-  const size_t n_opdata = db.len / sizeof(float);
-
-  // lookup: spec row src-1 must describe source size src
-  auto get_ops = [&](long src, OpEntry* oy, OpEntry* oc, std::string* err) {
-    if (src < 1 || static_cast<size_t>(src) > n_spec) {
-      *err = "crop size outside operator table";
-      return false;
-    }
-    const int32_t* row = spec + (src - 1) * 10;
-    if (row[0] != src) {
-      *err = "operator table not indexed by size";
-      return false;
-    }
-    *oy = OpEntry{static_cast<int>(src), row[1], row[2], row[3], opdata + row[4]};
-    *oc = OpEntry{row[5], row[6], row[7], row[8], opdata + row[9]};
-    if (oy->g * oy->a != src || oy->g * oy->b != t_y ||
-        oc->g * oc->a != oc->src || oc->g * oc->b != t_c ||
-        static_cast<size_t>(row[4]) + static_cast<size_t>(oy->b) * kDct * oy->a * kDct > n_opdata ||
-        static_cast<size_t>(row[9]) + static_cast<size_t>(oc->b) * kDct * oc->a * kDct > n_opdata) {
-      *err = "inconsistent operator table entry";
-      return false;
-    }
-    return true;
-  };
-
-  FILE* f = fopen(path, "rb");
-  if (!f) {
-    for (auto* b : bufs) PyBuffer_Release(b);
-    PyErr_Format(PyExc_FileNotFoundError, "Unable to open file for reading: %s", path);
-    return nullptr;
-  }
-
-  jpeg_decompress_struct cinfo{};
-  ErrorMgr err{};
-  cinfo.err = jpeg_std_error(&err.pub);
-  err.pub.error_exit = error_exit;
-
-  bool ok = true;
-  std::string msg;
+  CropPackPtrs o{static_cast<int8_t*>(vy.buf), static_cast<uint8_t*>(my.buf),
+                 static_cast<uint8_t*>(sy.buf), static_cast<int16_t*>(dy.buf),
+                 static_cast<int8_t*>(vc.buf), static_cast<uint8_t*>(mc.buf),
+                 static_cast<uint8_t*>(sc.buf), static_cast<int16_t*>(dcc.buf),
+                 static_cast<int16_t*>(qb.buf)};
   CoeffInfo info;
-  long bi = 0, bj = 0, bh = 0, bw = 0;
-
+  long box[4] = {0, 0, 0, 0};
+  std::string msg;
+  bool ok;
   Py_BEGIN_ALLOW_THREADS;
-  std::memset(vy.buf, 0, yblk * k);
-  std::memset(my.buf, 0, yblk * 8);
-  std::memset(sy.buf, 1, yblk);
-  std::memset(dy.buf, 0, yblk * sizeof(int16_t));
-  std::memset(vc.buf, 0, cblk * k);
-  std::memset(mc.buf, 0, cblk * 8);
-  std::memset(sc.buf, 1, cblk);
-  std::memset(dcc.buf, 0, cblk * sizeof(int16_t));  // neutral chroma (gray)
-  if (setjmp(err.jump)) {
-    ok = false;
-    msg = err.message;
-  } else {
-    jpeg_create_decompress(&cinfo);
-    jpeg_stdio_src(&cinfo, f);
-    jpeg_read_header(&cinfo, TRUE);
-    jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
-    info.num_components = cinfo.num_components;
-    for (int i = 0; i < cinfo.num_components && i < 3; ++i) {
-      info.height_in_blocks[i] = cinfo.comp_info[i].height_in_blocks;
-      info.width_in_blocks[i] = cinfo.comp_info[i].width_in_blocks;
-    }
-    int16_t* qdat = static_cast<int16_t*>(qb.buf);
-    extract_quant(cinfo, 0, qdat);
-    if (cinfo.num_components > 1) {
-      extract_quant(cinfo, 1, qdat + kDct2);
-      extract_quant(cinfo, 2, qdat + 2 * kDct2);
-    } else {
-      for (int i = kDct2; i < 3 * kDct2; ++i) qdat[i] = 1;
-    }
-
-    // sample the crop box on the true (clamped) block grid
-    const long height = std::min<long>(info.height_in_blocks[0], max_src);
-    const long width = std::min<long>(info.width_in_blocks[0], max_src);
-    sample_box(static_cast<CropMode>(mode), height, width, uniforms, scale_lo,
-               scale_hi, ratio, evens, n_evens, &bi, &bj, &bh, &bw);
-
-    OpEntry oyh, och, oyw, ocw;
-    std::string operr;
-    if (!get_ops(bh, &oyh, &och, &operr) || !get_ops(bw, &oyw, &ocw, &operr)) {
-      ok = false;
-      msg = operr;
-    } else {
-      // persistent per-thread scratch: fresh MB-sized vectors each call cost
-      // more in page faults + double zeroing than the resize math itself
-      thread_local std::vector<float> win, tmp, out, gt;
-      const long t8 = static_cast<long>(t_y) * kDct;
-      win.resize(static_cast<size_t>(bh) * kDct * bw * kDct);
-      tmp.resize(static_cast<size_t>(t8) * bw * kDct);
-      out.resize(static_cast<size_t>(t8) * t8);
-      extract_window_f32(cinfo, arrays, 0, qdat, bi, bj, bh, bw, win.data());
-      apply_rows(oyh, win.data(), bw * kDct, tmp.data());
-      apply_cols(oyw, tmp.data(), t8, out.data(), &gt);
-      pack_plane_mask16(out.data(), t_y, k, static_cast<int8_t*>(vy.buf),
-                        static_cast<uint8_t*>(my.buf),
-                        static_cast<uint8_t*>(sy.buf),
-                        static_cast<int16_t*>(dy.buf));
-
-      if (cinfo.num_components > 1) {
-        // chroma box: offsets halved (multiples of 2 -> exact), sizes from
-        // the operator table (h//2 for crops, ceil for full-image resize)
-        const long tc8 = static_cast<long>(t_c) * kDct;
-        const long csh = och.src, csw = ocw.src;
-        thread_local std::vector<float> cwin, ctmp, cout;
-        cwin.resize(static_cast<size_t>(csh) * kDct * csw * kDct);
-        ctmp.resize(static_cast<size_t>(tc8) * csw * kDct);
-        cout.resize(static_cast<size_t>(tc8) * tc8);
-        for (int comp = 1; comp < 3; ++comp) {
-          extract_window_f32(cinfo, arrays, comp, qdat + comp * kDct2, bi / 2,
-                             bj / 2, csh, csw, cwin.data());
-          apply_rows(och, cwin.data(), csw * kDct, ctmp.data());
-          apply_cols(ocw, ctmp.data(), tc8, cout.data(), &gt);
-          const size_t plane = static_cast<size_t>(t_c) * t_c;
-          const size_t po = (comp - 1) * plane;
-          pack_plane_mask16(cout.data(), t_c, k,
-                            static_cast<int8_t*>(vc.buf) + po * k,
-                            static_cast<uint8_t*>(mc.buf) + po * 8,
-                            static_cast<uint8_t*>(sc.buf) + po,
-                            static_cast<int16_t*>(dcc.buf) + po);
-        }
-      }
-      jpeg_finish_decompress(&cinfo);
-    }
-  }
-  jpeg_destroy_decompress(&cinfo);
-  fclose(f);
+  ok = crop_pack_core(path, k, static_cast<CropMode>(mode), t_y, t_c, max_src,
+                      static_cast<const double*>(ub.buf), scale_lo, scale_hi,
+                      ratio, static_cast<const int32_t*>(eb.buf), n_evens,
+                      static_cast<const int32_t*>(sb.buf), n_spec,
+                      static_cast<const float*>(db.buf), db.len / sizeof(float),
+                      o, &info, box, &msg);
   Py_END_ALLOW_THREADS;
 
   for (auto* b : bufs) PyBuffer_Release(b);
@@ -1227,7 +1342,84 @@ PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
   }
   return Py_BuildValue("iiiiillll", info.num_components, info.height_in_blocks[0],
                        info.width_in_blocks[0], info.height_in_blocks[1],
-                       info.width_in_blocks[1], bi, bj, bh, bw);
+                       info.width_in_blocks[1], box[0], box[1], box[2], box[3]);
+}
+
+// --- read_crop_resize_pack_row(path, k, mode, t_y, t_c, max_src, uniforms,
+//         scale_lo, scale_hi, ratio, evens, spec, data, row, offsets,
+//         label, weight) -> (ncomp, yh, yw, ch, cw, bi, bj, bh, bw) -----------
+// Loader hot-path variant: all per-sample outputs live in ONE consolidated
+// row buffer (data.loader.packed_layout); `offsets` is int64 (11,) with byte
+// offsets [vy, my, sy, dy, vc, mc, sc, dc, quant, labels, weights].  The
+// label/weight are written into the row here, so the Python worker makes a
+// single call with zero numpy view objects per image.
+PyObject* py_read_crop_resize_pack_row(PyObject*, PyObject* args) {
+  const char* path;
+  int k, mode, t_y, t_c, max_src;
+  double scale_lo, scale_hi, ratio, weight;
+  long label;
+  Py_buffer ub, eb, sb, db, rb, ob;
+  if (!PyArg_ParseTuple(args, "siiiiiw*dddw*w*w*w*w*ld", &path, &k, &mode, &t_y,
+                        &t_c, &max_src, &ub, &scale_lo, &scale_hi, &ratio, &eb,
+                        &sb, &db, &rb, &ob, &label, &weight))
+    return nullptr;
+
+  std::vector<Py_buffer*> bufs = {&ub, &eb, &sb, &db, &rb, &ob};
+  auto fail = [&](PyObject* exc, const char* m) -> PyObject* {
+    for (auto* b : bufs) PyBuffer_Release(b);
+    PyErr_SetString(exc, m);
+    return nullptr;
+  };
+
+  const size_t yblk = static_cast<size_t>(t_y) * t_y;
+  const size_t cblk = 2 * static_cast<size_t>(t_c) * t_c;
+  const int n_evens = static_cast<int>(eb.len / sizeof(int32_t));
+  const size_t n_spec = sb.len / (10 * sizeof(int32_t));
+  if (ub.len < 12 * static_cast<Py_ssize_t>(sizeof(double)) || n_evens < 1 ||
+      n_spec < static_cast<size_t>(max_src) ||
+      static_cast<size_t>(ob.len) < 11 * sizeof(int64_t))
+    return fail(PyExc_ValueError, "uniforms/evens/spec/offsets too small");
+  const int64_t* off = static_cast<const int64_t*>(ob.buf);
+  // field extents (bytes) in offset order, for the bounds check
+  const size_t ext[11] = {yblk * k, yblk * 8, yblk, yblk * 2, cblk * k,
+                          cblk * 8, cblk, cblk * 2, 3 * kDct2 * 2, 4, 4};
+  for (int i = 0; i < 11; ++i) {
+    if (off[i] < 0 || static_cast<size_t>(off[i]) + ext[i] > static_cast<size_t>(rb.len))
+      return fail(PyExc_ValueError, "row offsets out of bounds");
+  }
+  uint8_t* row = static_cast<uint8_t*>(rb.buf);
+  CropPackPtrs o{reinterpret_cast<int8_t*>(row + off[0]), row + off[1],
+                 row + off[2], reinterpret_cast<int16_t*>(row + off[3]),
+                 reinterpret_cast<int8_t*>(row + off[4]), row + off[5],
+                 row + off[6], reinterpret_cast<int16_t*>(row + off[7]),
+                 reinterpret_cast<int16_t*>(row + off[8])};
+  CoeffInfo info;
+  long box[4] = {0, 0, 0, 0};
+  std::string msg;
+  bool ok;
+  Py_BEGIN_ALLOW_THREADS;
+  ok = crop_pack_core(path, k, static_cast<CropMode>(mode), t_y, t_c, max_src,
+                      static_cast<const double*>(ub.buf), scale_lo, scale_hi,
+                      ratio, static_cast<const int32_t*>(eb.buf), n_evens,
+                      static_cast<const int32_t*>(sb.buf), n_spec,
+                      static_cast<const float*>(db.buf), db.len / sizeof(float),
+                      o, &info, box, &msg);
+  if (ok) {
+    int32_t lab = static_cast<int32_t>(label);
+    float w = static_cast<float>(weight);
+    std::memcpy(row + off[9], &lab, sizeof(lab));
+    std::memcpy(row + off[10], &w, sizeof(w));
+  }
+  Py_END_ALLOW_THREADS;
+
+  for (auto* b : bufs) PyBuffer_Release(b);
+  if (!ok) {
+    PyErr_Format(PyExc_RuntimeError, "crop_resize_pack: %s (%s)", msg.c_str(), path);
+    return nullptr;
+  }
+  return Py_BuildValue("iiiiillll", info.num_components, info.height_in_blocks[0],
+                       info.width_in_blocks[0], info.height_in_blocks[1],
+                       info.width_in_blocks[1], box[0], box[1], box[2], box[3]);
 }
 
 PyObject* py_read_into_packed(PyObject*, PyObject* args) {
@@ -1538,6 +1730,8 @@ PyMethodDef methods[] = {
      "Bitmask pack with exact int16 DC + int8 top-K ACs (K+11 B/block)."},
     {"read_crop_resize_pack", py_read_crop_resize_pack, METH_VARARGS,
      "Decode + host crop/resize to the target grid + mask16 pack."},
+    {"read_crop_resize_pack_row", py_read_crop_resize_pack_row, METH_VARARGS,
+     "Crop/resize/pack into one consolidated row buffer (loader hot path)."},
     {"write_coefficients", py_write_coefficients, METH_VARARGS,
      "Write DCT coefficients to a JPEG file."},
     {"quantize_at_quality", py_quantize_at_quality, METH_VARARGS,

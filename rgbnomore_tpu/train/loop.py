@@ -180,10 +180,10 @@ class Trainer:
         return self.state
 
     # ------------------------------------------------------------------ steps
-    def _fused_train_step(self):
-        """Augmentation + mixup + fwd/bwd/update in ONE jitted function."""
-        if self._train_step_inner is not None:
-            return self._train_step_inner
+    def _train_body(self):
+        """The pure per-batch train step (uncompiled): augmentation + mixup +
+        fwd/bwd/update.  Jitted directly by :meth:`_fused_train_step` and
+        scanned by :meth:`_fused_multi_train_step`."""
         model = self.model
         pipe = self.train_pipe
         num_classes = self.cfg.model.classes
@@ -223,8 +223,45 @@ class Trainer:
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             return state.apply_gradients(grads=grads), {"loss": loss}
 
-        self._train_step_inner = jax.jit(step, donate_argnums=(0,))
+        return step
+
+    def _fused_train_step(self):
+        """Augmentation + mixup + fwd/bwd/update in ONE jitted function."""
+        if self._train_step_inner is None:
+            self._train_step_inner = jax.jit(self._train_body(), donate_argnums=(0,))
         return self._train_step_inner
+
+    def _fused_multi_train_step(self, n_steps: int):
+        """``n_steps`` full optimizer steps in ONE jitted dispatch via
+        ``lax.scan`` — semantically identical to calling the single step
+        ``n_steps`` times (per-batch RNG still folds in ``state.step``), but
+        one host->device transfer of ``(n_steps, B, row)`` and one dispatch,
+        amortizing the per-call relay/dispatch overhead that dominates on
+        thin-link harnesses.  Packed/cropped transfers only.
+
+        Returns ``fn(state, superbuf, rng) -> (state, {"loss": (n_steps,)})``.
+        """
+        assert self.transfer in ("packed", "cropped"), "multi-step needs packed rows"
+        body = self._train_body()
+
+        def multi(state, superbuf, rng):
+            def scan_body(st, buf):
+                st, metrics = body(st, {"packed": buf}, rng)
+                return st, metrics["loss"]
+
+            state, losses = jax.lax.scan(scan_body, state, superbuf)
+            return state, {"loss": losses}
+
+        return jax.jit(multi, donate_argnums=(0,))
+
+    def put_superbatch(self, superbuf):
+        """Device-put an ``(n_steps, B, row)`` stack, batch axis sharded."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, superbuf)
+        return jax.device_put(superbuf, sh)
 
     def _fused_eval_step(self):
         pipe = self.eval_pipe

@@ -255,6 +255,58 @@ def test_cropped_trainer_step(tmp_path):
     assert res["count"] == 8 and np.isfinite(res["loss"])
 
 
+def test_multi_step_matches_repeated_single_steps(tmp_path):
+    """_fused_multi_train_step(n) must be bit-for-bit the same training as n
+    single fused steps (same per-step RNG fold on state.step)."""
+    import jax.numpy as jnp
+
+    from rgbnomore_tpu.train.config import generate_config
+    from rgbnomore_tpu.train.loop import Trainer
+
+    paths = [
+        _write_jpeg(tmp_path / f"m{i}.jpg", 256, 256, seed=40 + i) for i in range(16)
+    ]
+    csv = tmp_path / "index.csv"
+    csv.write_text(
+        "Filepath,Label\n" + "\n".join(f"{p},{i % 4}" for i, p in enumerate(paths)) + "\n"
+    )
+    cfg = generate_config("vitti", "dct", modelver=1)
+    cfg.model.depth = 1
+    cfg.model.classes = 4
+    cfg.train.batch_size = 8  # one row per device on the 8-device CPU mesh
+    cfg.train.warmup = 2
+    cfg.train.auglist = ["Brightness", "Cutout"]
+
+    from rgbnomore_tpu.data.index import load_index
+    from rgbnomore_tpu.data.loader import DctCroppedLoader
+
+    ds = load_index(csv)
+    loader = DctCroppedLoader(ds, 8, target=28, k=16, mode="train", shuffle=False,
+                              num_threads=2)
+    bufs = [b["packed"] for b in loader][:2]
+    superbuf = np.stack(bufs)
+
+    def fresh_trainer():
+        t = Trainer(cfg, transfer="cropped")
+        t.create_state(steps_per_epoch=2)
+        return t
+
+    rng = jax.random.PRNGKey(7)
+    t1 = fresh_trainer()
+    step = t1._fused_train_step()
+    losses1 = []
+    for b in bufs:
+        t1.state, m = step(t1.state, {"packed": t1._put(b)}, rng)
+        losses1.append(float(m["loss"]))
+    t2 = fresh_trainer()
+    multi = t2._fused_multi_train_step(2)
+    t2.state, m2 = multi(t2.state, t2.put_superbatch(superbuf), rng)
+    np.testing.assert_allclose(np.asarray(m2["loss"]), losses1, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(t2.state.step) == 2
+
+
 def test_cropped_eval_matches_dense_eval_pipeline(tmp_path):
     """The host center-crop wire reproduces the on-device eval pipeline
     (make_center_crop_resize on the dense canvas) within wire quantization."""
