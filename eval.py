@@ -23,7 +23,12 @@ def evaluate_model(cfg, index_train: str, index_val: str, loadpath: str, **kw) -
 
 
 if __name__ == "__main__":
-    sys.argv.insert(1, "--eval")
+    # eval-only entry: force --eval and strip any --train so `python eval.py`
+    # can never silently start a training run (the reference's eval.py has no
+    # CLI of its own; train.py --eval is the documented path)
+    sys.argv = [a for a in sys.argv if a != "--train"]
+    if "--eval" not in sys.argv:
+        sys.argv.insert(1, "--eval")
     from train import main
 
     main()

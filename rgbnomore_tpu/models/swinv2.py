@@ -91,6 +91,10 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     pretrained_window_size: int = 0
     dtype: jnp.dtype = jnp.float32
+    # pair-packed Pallas kernel (ops/pallas/attention.py): two windows share
+    # one MXU tile, recovering the 128-lane padding the 64-token/32-dim swin
+    # shapes otherwise waste.  Requires an even window count per image.
+    use_fused_kernel: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: np.ndarray | None, deterministic: bool = True) -> jax.Array:
@@ -119,9 +123,7 @@ class WindowAttention(nn.Module):
         k = k.astype(jnp.float32)
         q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
         k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         scale = jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))
-        attn = attn * scale
 
         # continuous relative position bias
         table = jnp.asarray(_relative_coords_table(self.window_size, self.pretrained_window_size))
@@ -132,15 +134,43 @@ class WindowAttention(nn.Module):
         idx = _relative_position_index(self.window_size).reshape(-1)
         bias_tbl = cpb[idx].reshape(n, n, self.num_heads)
         bias_tbl = 16.0 * jax.nn.sigmoid(bias_tbl)
-        attn = attn + bias_tbl.transpose(2, 0, 1)[None]
+        bias_hnn = bias_tbl.transpose(2, 0, 1)  # (H, n, n)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bw // nw, nw, self.num_heads, n, n) + jnp.asarray(mask)[None, :, None]
-            attn = attn.reshape(bw, self.num_heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        nw = 1 if mask is None else mask.shape[0]
+        fuse = (
+            self.use_fused_kernel
+            and jax.default_backend() == "tpu"
+            and bw % 2 == 0
+            and (mask is None or (nw % 2 == 0 and bw % nw == 0))
+        )
+        if fuse:
+            from rgbnomore_tpu.ops.pallas.attention import fused_window_attention
 
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+            # per-window logits bias incl. shift mask, paired block-diagonally
+            if mask is None:
+                per_w = bias_hnn[None]  # (1, H, n, n)
+                pairs = jnp.stack([per_w[0], per_w[0]])[None]  # (1, 2, H, n, n)
+            else:
+                per_w = bias_hnn[None] + jnp.asarray(mask)[:, None]  # (nw, H, n, n)
+                pairs = per_w.reshape(nw // 2, 2, self.num_heads, n, n)
+            npat = pairs.shape[0]
+            bias2 = jnp.full((npat, self.num_heads, 2 * n, 2 * n), -1e9, jnp.float32)
+            bias2 = bias2.at[:, :, :n, :n].set(pairs[:, 0])
+            bias2 = bias2.at[:, :, n:, n:].set(pairs[:, 1])
+            qs = jnp.transpose(q, (0, 2, 1, 3)) * scale[None]  # scale folded in
+            ks = jnp.transpose(k, (0, 2, 1, 3))
+            vs = jnp.transpose(v.astype(jnp.float32), (0, 2, 1, 3))
+            out = fused_window_attention(qs, ks, vs, bias2)
+            out = jnp.transpose(out, (0, 2, 1, 3)).astype(self.dtype)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+            attn = attn * scale
+            attn = attn + bias_hnn[None]
+            if mask is not None:
+                attn = attn.reshape(bw // nw, nw, self.num_heads, n, n) + jnp.asarray(mask)[None, :, None]
+                attn = attn.reshape(bw, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(bw, n, self.dim)
         return nn.Dense(self.dim, kernel_init=trunc_init, dtype=self.dtype, name="proj")(out)
 
@@ -174,6 +204,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     pretrained_window_size: int = 0
     dtype: jnp.dtype = jnp.float32
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -191,7 +222,7 @@ class SwinBlock(nn.Module):
         mask = _shift_attn_mask(h, w, ws, shift) if shift > 0 else None
         attn_windows = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias, self.pretrained_window_size,
-            dtype=self.dtype, name="attn",
+            dtype=self.dtype, use_fused_kernel=self.use_fused_attention, name="attn",
         )(windows, mask, deterministic)
         x = window_reverse(attn_windows, ws, h, w)
         if shift > 0:

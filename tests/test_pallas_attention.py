@@ -61,3 +61,61 @@ def test_jit_and_vit_integration(rng):
     params = model.init(jax.random.PRNGKey(0), y, c)
     out = jax.jit(lambda p: model.apply(p, y, c))(params)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _ref_window_attention(q, k, v, bias2):
+    """Per-window softmax(QK^T + per-window bias) V oracle."""
+    bw, h, n, d = q.shape
+    npat = bias2.shape[0]
+    outs = []
+    for w in range(bw):
+        pair, slot = w // 2, w % 2
+        b = bias2[pair % npat][:, slot * n:(slot + 1) * n, slot * n:(slot + 1) * n]
+        s = jnp.einsum("hqd,hkd->hqk", q[w], k[w]) + b
+        p = jax.nn.softmax(s, axis=-1)
+        outs.append(jnp.einsum("hqk,hkd->hqd", p, v[w]))
+    return jnp.stack(outs)
+
+
+def _window_inputs(rng, bw=4, h=2, n=16, d=8, npat=2):
+    q = jnp.asarray(rng.standard_normal((bw, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bw, h, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bw, h, n, d)).astype(np.float32))
+    per = rng.standard_normal((npat, 2, h, n, n)).astype(np.float32)
+    bias2 = np.full((npat, h, 2 * n, 2 * n), -1e9, np.float32)
+    bias2[:, :, :n, :n] = per[:, 0]
+    bias2[:, :, n:, n:] = per[:, 1]
+    return q, k, v, jnp.asarray(bias2)
+
+
+def test_fused_window_attention_forward(rng):
+    from rgbnomore_tpu.ops.pallas.attention import fused_window_attention
+
+    q, k, v, bias2 = _window_inputs(rng)
+    out = fused_window_attention(q, k, v, bias2, True)
+    want = _ref_window_attention(q, k, v, bias2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_fused_window_attention_grads(rng):
+    from rgbnomore_tpu.ops.pallas.attention import fused_window_attention
+
+    q, k, v, bias2 = _window_inputs(rng, bw=8, npat=2)
+    t = jnp.asarray(rng.standard_normal(q.shape).astype(np.float32))
+
+    def loss_fused(q, k, v, b):
+        return jnp.sum((fused_window_attention(q, k, v, b, True) - t) ** 2)
+
+    def loss_ref(q, k, v, b):
+        return jnp.sum((_ref_window_attention(q, k, v, b) - t) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias2)
+    for name, a, b_ in zip("qkvb", gf, gr):
+        if name == "b":
+            # off-diagonal quadrants get ~0 grads both ways; compare diags
+            n = q.shape[2]
+            a = jnp.concatenate([a[:, :, :n, :n], a[:, :, n:, n:]])
+            b_ = jnp.concatenate([b_[:, :, :n, :n], b_[:, :, n:, n:]])
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"grad {name}")
