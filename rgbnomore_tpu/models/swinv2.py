@@ -296,6 +296,7 @@ class SwinTransformerV2(nn.Module):
     pretrained_window_sizes: Sequence[int] = (0, 0, 0, 0)
     pixel_space: str = "rgb"
     dtype: jnp.dtype = jnp.float32
+    use_fused_attention: bool = False  # pair-packed Pallas window kernel (TPU)
 
     @nn.compact
     def __call__(self, x: jax.Array, cbcr: jax.Array | None = None, train: bool = False) -> jax.Array:
@@ -356,6 +357,7 @@ class SwinTransformerV2(nn.Module):
                     drop_path=dpr[block_idx],
                     pretrained_window_size=self.pretrained_window_sizes[i_layer],
                     dtype=self.dtype,
+                    use_fused_attention=self.use_fused_attention,
                     name=f"layer{i_layer}_block{d}",
                 )(feats, deterministic)
                 block_idx += 1

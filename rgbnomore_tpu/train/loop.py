@@ -402,6 +402,7 @@ def train_and_eval(
     transfer: str = "packed",
     num_devices: int | None = None,
     packed_k: int | None = None,
+    ckpt_every: int = 1,
 ) -> dict:
     """Main train/eval flow (reference ``train.py:traineval``).  Returns final
     metrics."""
@@ -483,10 +484,14 @@ def train_and_eval(
             writer.scalar("Loss/Train_val", tval["loss"], epoch)
             writer.scalar("Acc/Train_val", tval["accuracy"], epoch)
             writer.scalar("Learning Rate", float(trainer.schedule(int(trainer.state.step))), epoch)
-            ckpt.save_checkpoint(
-                ckpt_dir, trainer.state, epoch,
-                {"val_acc": val["accuracy"], "val_loss": val["loss"], "train_loss": window.mean()},
-            )
+            # the reference checkpoints every epoch (train.py:196-199); on
+            # hosts where pulling the full TrainState is expensive (thin
+            # links) ckpt_every thins the cadence, always keeping the last
+            if (epoch + 1) % ckpt_every == 0 or epoch + 1 == cfg.train.epochs:
+                ckpt.save_checkpoint(
+                    ckpt_dir, trainer.state, epoch,
+                    {"val_acc": val["accuracy"], "val_loss": val["loss"], "train_loss": window.mean()},
+                )
             results.update({"val": val, "trainval": tval, "epoch": epoch})
         save_params(savepath, trainer.state.params)
         log.info("training complete; saved weights to %s", savepath)
@@ -501,6 +506,7 @@ def train_and_eval(
     if run_eval:
         test = trainer.evaluate(loaders["test"])
         results["test"] = test
+        results.setdefault("val", trainer.evaluate(loaders["minival"]))
         writer.scalar("Acc/Test", test["accuracy"], 0)
         writer.scalar("Loss/Test", test["loss"], 0)
         if verbose >= 1:
