@@ -10,7 +10,11 @@ only honest sync through the dev relay).  Results -> BENCHMARKS.md.
 
 from __future__ import annotations
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
