@@ -119,7 +119,7 @@ def main() -> None:
     # The link to the device can be noisy in shared environments, so measure
     # several windows and report the median window throughput (blocking only
     # at window boundaries).
-    skip, windows, per_window = 3, 5, 10
+    skip, windows, per_window = 5, 7, 10
     it = loader.iter_cycle(skip + windows * per_window)
     for _ in range(skip):  # compile + warm, excluded
         trainer.state, _ = step(trainer.state, trainer.put_batch(next(it)), rng)
