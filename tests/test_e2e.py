@@ -180,6 +180,26 @@ def test_loss_window_fed_every_iteration(tiny_imagenet, tmp_path, monkeypatch):
     assert len(puts) == expected_steps
 
 
+def test_ckpt_every_thins_cadence(tiny_imagenet, tmp_path):
+    """ckpt_every=N keeps every Nth epoch plus the last (thin-link hosts);
+    default 1 matches the reference's every-epoch cadence (train.py:196-199)."""
+    from rgbnomore_tpu.train.loop import train_and_eval
+
+    cfg = _tiny_cfg()
+    cfg.train.epochs = 3
+    train_and_eval(
+        cfg, str(tiny_imagenet / "index_train.csv"), str(tiny_imagenet / "index_val.csv"),
+        savepath=str(tmp_path / "m.msgpack"), run_train=True, run_eval=False,
+        verbose=0, canvas=8, num_threads=2, ckpt_every=2,
+    )
+    ckpts = sorted(
+        int(p.name) for p in (tmp_path / "checkpoints" / "vitti_dct").iterdir()
+        if p.name.isdigit()
+    )
+    # epochs 0,1,2 -> saved at (epoch+1)%2==0 -> epoch 1, plus the last (2)
+    assert ckpts == [1, 2]
+
+
 def test_ampdtype_honored_and_rejected():
     import jax.numpy as jnp
 
