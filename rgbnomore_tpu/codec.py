@@ -21,13 +21,13 @@ from __future__ import annotations
 
 import numpy as np
 
-try:
-    from rgbnomore_tpu.native import _dctcodec  # type: ignore[attr-defined]
-except ImportError:  # first use: compile the extension in-place
-    from rgbnomore_tpu.native.build import build as _build
+# build() is a freshness check, not just a compile: it rebuilds when the
+# source is newer OR when the .so was produced on a different host CPU
+# (-march=native artifacts must never be reused across machines).
+from rgbnomore_tpu.native.build import build as _build
 
-    _build()
-    from rgbnomore_tpu.native import _dctcodec  # type: ignore[attr-defined]  # noqa: E501
+_build()
+from rgbnomore_tpu.native import _dctcodec  # type: ignore[attr-defined]  # noqa: E402
 
 __all__ = [
     "read_coefficients",

@@ -15,14 +15,48 @@ HERE = Path(__file__).resolve().parent
 SRC = HERE / "dctcodec.cpp"
 
 
+def _host_cpu_tag() -> str:
+    """A short tag identifying the host CPU's ISA extensions.
+
+    The extension is compiled ``-march=native``; a cached .so carried to a
+    different machine (shared volume, container image) could SIGILL.  The
+    build records this tag in a sidecar file and rebuilds whenever the tag
+    no longer matches the running host.
+    """
+    import hashlib
+    import re
+
+    try:
+        text = Path("/proc/cpuinfo").read_text()
+        flags = re.search(r"^flags\s*:\s*(.*)$", text, re.M)
+        model = re.search(r"^model name\s*:\s*(.*)$", text, re.M)
+        key = (model.group(1) if model else "") + "|" + (flags.group(1) if flags else "")
+    except OSError:  # non-Linux: fall back to the platform triple
+        import platform
+
+        key = platform.processor() + platform.machine()
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
+
+
 def ext_path() -> Path:
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     return HERE / f"_dctcodec{suffix}"
 
 
+def _tag_path() -> Path:
+    return HERE / "_dctcodec.buildtag"
+
+
 def build(force: bool = False) -> Path:
     out = ext_path()
-    if out.exists() and not force and out.stat().st_mtime >= SRC.stat().st_mtime:
+    tag = _host_cpu_tag()
+    fresh = (
+        out.exists()
+        and out.stat().st_mtime >= SRC.stat().st_mtime
+        and _tag_path().exists()
+        and _tag_path().read_text().strip() == tag
+    )
+    if fresh and not force:
         return out
     include = sysconfig.get_paths()["include"]
     cmd = [
@@ -45,6 +79,7 @@ def build(force: bool = False) -> Path:
     except subprocess.CalledProcessError:
         cmd.remove("-march=native")  # exotic hosts: portable fallback
         subprocess.run(cmd, check=True)
+    _tag_path().write_text(tag + "\n")
     return out
 
 

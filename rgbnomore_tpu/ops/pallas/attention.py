@@ -167,9 +167,9 @@ def _win_fwd_kernel(two_n: int, q_ref, k_ref, v_ref, b_ref, o_ref):
     o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _win_bwd_kernel(two_n: int, npat: int, q_ref, k_ref, v_ref, b_ref, do_ref,
+def _win_bwd_kernel(two_n: int, q_ref, k_ref, v_ref, b_ref, do_ref,
                     dq_ref, dk_ref, dv_ref, db_ref):
-    i = pl.program_id(0)
+    t = pl.program_id(2)
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -188,14 +188,17 @@ def _win_bwd_kernel(two_n: int, npat: int, q_ref, k_ref, v_ref, b_ref, do_ref,
     dk_ref[0, 0] = jnp.dot(ds.T, q, preferred_element_type=jnp.float32).astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
-    # bias gradient: pairs sharing a bias pattern accumulate into the same
-    # output block — legal because the TPU grid runs sequentially, and pair i
-    # first touches pattern (i % npat) exactly when i < npat.
-    @pl.when(i < npat)
+    # bias gradient: the backward grid is (npat, h, m) with the accumulation
+    # dim t INNERMOST, so every revisit of the (pattern, head) db block is a
+    # CONSECUTIVE grid step — the only pattern for which Pallas TPU keeps an
+    # output block resident in VMEM between visits.  (A (pairs, h) grid with
+    # index_map (i % npat, j) revisits non-consecutively and reads back stale
+    # VMEM on real TPUs, even though interpret mode emulates it fine.)
+    @pl.when(t == 0)
     def _init():
         db_ref[0, 0] = ds.astype(db_ref.dtype)
 
-    @pl.when(i >= npat)
+    @pl.when(t > 0)
     def _acc():
         db_ref[0, 0] = (db_ref[0, 0] + ds).astype(db_ref.dtype)
 
@@ -265,6 +268,13 @@ def _win_bwd(interpret, residuals, g):
     q, k, v, bias2 = residuals
     bw, h, n, d = q.shape
     npat = bias2.shape[0]
+    pairs = bw // 2
+    assert pairs % npat == 0, (
+        f"fused_window_attention backward needs pairs ({pairs}) divisible by "
+        f"bias patterns ({npat}) — every model call site satisfies this "
+        "(pairs = batch * nW/2, npat = nW/2)"
+    )
+    m = pairs // npat  # pairs per pattern (the db accumulation depth)
     d_pad = _round_up(d, 128)
     two_n_pad = _round_up(2 * n, 8)
     qp = _win_pack(q, d_pad)
@@ -272,16 +282,24 @@ def _win_bwd(interpret, residuals, g):
     vp = _win_pack(v, d_pad)
     gp = _win_pack(g, d_pad)
     bp = jnp.pad(bias2, ((0, 0), (0, 0), (0, two_n_pad - 2 * n), (0, two_n_pad - 2 * n)))
-    qspec, bspec = _win_specs(npat, two_n_pad, d_pad)
+    # grid (npat, h, m), t innermost: pair index = p + t*npat (pair i uses
+    # pattern i % npat), so all pairs sharing a pattern are consecutive and
+    # the db output block (p, j) accumulates legally in VMEM (see kernel).
+    pair_spec = pl.BlockSpec((1, 1, two_n_pad, d_pad),
+                             lambda p, j, t, _npat=npat: (p + t * _npat, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    patt_spec = pl.BlockSpec((1, 1, two_n_pad, two_n_pad),
+                             lambda p, j, t: (p, j, 0, 0),
+                             memory_space=pltpu.VMEM)
     dq, dk, dv, db = pl.pallas_call(
-        functools.partial(_win_bwd_kernel, 2 * n, npat),
-        grid=(bw // 2, h),
-        in_specs=[qspec, qspec, qspec, bspec, qspec],
-        out_specs=(qspec, qspec, qspec, bspec),
+        functools.partial(_win_bwd_kernel, 2 * n),
+        grid=(npat, h, m),
+        in_specs=[pair_spec, pair_spec, pair_spec, patt_spec, pair_spec],
+        out_specs=(pair_spec, pair_spec, pair_spec, patt_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((bw // 2, h, two_n_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((bw // 2, h, two_n_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((bw // 2, h, two_n_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((pairs, h, two_n_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((pairs, h, two_n_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((pairs, h, two_n_pad, d_pad), q.dtype),
             jax.ShapeDtypeStruct((npat, h, two_n_pad, two_n_pad), bias2.dtype),
         ),
         interpret=interpret,

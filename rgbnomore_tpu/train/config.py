@@ -229,9 +229,9 @@ def amp_compute_dtype(cfg: Config):
 
     The reference autocasts to the configured dtype (``train.py:153``); here
     ``bf16`` is the TPU-native choice (no GradScaler needed — same exponent
-    range as f32), ``fp16`` is honored when explicitly requested (with a
-    warning: the reference pairs it with a GradScaler, which bf16 obviates
-    and fp16-on-TPU does not get), anything else is rejected loudly.
+    range as f32), ``fp16`` is honored with the reference's dynamic loss
+    scaling wired into the train step (``rgbnomore_tpu.train.scaler``),
+    anything else is rejected loudly.
     """
     import logging
 
@@ -244,8 +244,9 @@ def amp_compute_dtype(cfg: Config):
         return jnp.bfloat16
     if name in ("fp16", "float16", "half"):
         logging.getLogger(__name__).warning(
-            "ampdtype=fp16 honored, but fp16 has no GradScaler here (the "
-            "reference uses one, pipeline_utils.py:540-541); bf16 is the "
+            "ampdtype=fp16: dynamic loss scaling active (growth 1.6 / backoff "
+            "0.625 / interval 600, clamp [2^-4, 2^18] — the reference's "
+            "GradScaler, pipeline_utils.py:540-541); bf16 is still the "
             "recommended TPU AMP dtype"
         )
         return jnp.float16

@@ -90,6 +90,11 @@ class Trainer:
         self.rng = jax.random.PRNGKey(self.seed)
 
         self.model = build_model(cfg)
+        # fp16 AMP gets the reference's dynamic loss scaling (GradScaler);
+        # bf16/f32 need none (same exponent range as f32)
+        from rgbnomore_tpu.train.config import amp_compute_dtype
+
+        self._fp16_scaler = bool(cfg.train.amp) and amp_compute_dtype(cfg) == jnp.float16
         self.canvas = canvas
         self.domain = cfg.model.domain
         assert transfer in ("packed", "dense", "cropped"), transfer
@@ -170,6 +175,10 @@ class Trainer:
         state = create_train_state(
             self.model, self.cfg, tx, init_rng, example_inputs(self.cfg, batch=2)
         )
+        if self._fp16_scaler:
+            from rgbnomore_tpu.train.scaler import init_loss_scale
+
+            state = state.replace(loss_scale=init_loss_scale())
         self.state = jax.device_put(state, self._rs)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
         log.info(
@@ -192,6 +201,7 @@ class Trainer:
 
         packed = self.transfer in ("packed", "cropped")
         rgb = self.domain == "RGB"
+        use_scaler = self._fp16_scaler
 
         def step(state, batch, rng):
             step_rng = jax.random.fold_in(rng, state.step)
@@ -219,6 +229,30 @@ class Trainer:
                     {"params": params}, *inputs, train=True, rngs={"dropout": k_drop}
                 )
                 return softmax_cross_entropy(logits, targets)
+
+            if use_scaler:
+                # fp16 AMP: dynamic loss scaling (the reference's GradScaler,
+                # pipeline_utils.py:540-541) — scale the loss before backward,
+                # unscale the grads, skip the update on overflow (the schedule
+                # still advances: scheduler.step is unconditional, train.py:174)
+                from rgbnomore_tpu.train import scaler as ls
+
+                scale = state.loss_scale.scale
+
+                def scaled_loss_fn(params):
+                    return loss_fn(params) * scale
+
+                sloss, grads = jax.value_and_grad(scaled_loss_fn)(state.params)
+                grads = jax.tree.map(lambda g: (g / scale).astype(g.dtype), grads)
+                finite = ls.all_finite(grads)
+                candidate = state.apply_gradients(grads=grads)
+                new_state = state.replace(
+                    step=state.step + 1,
+                    params=ls.select_tree(finite, candidate.params, state.params),
+                    opt_state=ls.select_tree(finite, candidate.opt_state, state.opt_state),
+                    loss_scale=ls.update_loss_scale(state.loss_scale, finite),
+                )
+                return new_state, {"loss": sloss / scale}
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             return state.apply_gradients(grads=grads), {"loss": loss}
@@ -506,14 +540,18 @@ def train_and_eval(
     if run_eval:
         test = trainer.evaluate(loaders["test"])
         results["test"] = test
-        results.setdefault("val", trainer.evaluate(loaders["minival"]))
         writer.scalar("Acc/Test", test["accuracy"], 0)
         writer.scalar("Loss/Test", test["loss"], 0)
         if verbose >= 1:
             log.info("test acc %.2f%% loss %.4f (n=%d)", test["accuracy"] * 100,
                      test["loss"], int(test["count"]))
-        if not run_train:
+        # eval-only mode also scores minival + trainval (train.py:206-219);
+        # after a train run 'val' is already the last epoch's eval — guard
+        # explicitly (setdefault would evaluate its default eagerly and
+        # discard it, a full wasted minival pass)
+        if "val" not in results:
             results["val"] = trainer.evaluate(loaders["minival"])
+        if not run_train:
             results["trainval"] = trainer.evaluate(loaders["trainval"])
 
     writer.close()

@@ -27,7 +27,13 @@ class TrainState(train_state.TrainState):
     Restoring a checkpoint restores ``step`` — fixing the reference bug where
     ``current_itr`` was saved but never restored (``pipeline_utils.py:571``),
     which silently restarted warmup on resume.
+
+    ``loss_scale`` is a :class:`rgbnomore_tpu.train.scaler.LossScaleState`
+    when fp16 AMP is active (the reference's GradScaler state,
+    ``pipeline_utils.py:540-541``) and ``None`` otherwise.
     """
+
+    loss_scale: Any = None
 
 
 def mixup_batch(rng: jax.Array, inputs: tuple, labels: jax.Array, num_classes: int, alpha: float = 1.0):

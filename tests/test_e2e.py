@@ -246,5 +246,6 @@ def test_cli_help():
         cwd=Path(__file__).resolve().parent.parent,
     )
     assert out.returncode == 0
-    for flag in ("--model_arch", "--embed_type", "--benchmark", "--ops_magnitude"):
+    for flag in ("--model_arch", "--embed_type", "--benchmark", "--ops_magnitude",
+                 "--ckpt_every", "--packed_k", "--coordinator"):
         assert flag in out.stdout

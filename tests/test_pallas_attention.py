@@ -119,3 +119,25 @@ def test_fused_window_attention_grads(rng):
             b_ = jnp.concatenate([b_[:, :, :n, :n], b_[:, :, n:, n:]])
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3,
                                    err_msg=f"grad {name}")
+
+
+def test_fused_window_attention_bias_grad_deep_accumulation(rng):
+    """Accumulation depth m = pairs/npat = 3: the db output block is revisited
+    across grid steps — the pattern the (npat, h, m) backward grid makes legal
+    (consecutive revisits) where the old (pairs, h) grid read stale VMEM."""
+    from rgbnomore_tpu.ops.pallas.attention import fused_window_attention
+
+    q, k, v, bias2 = _window_inputs(rng, bw=12, npat=2)
+
+    def loss_fused(b):
+        return jnp.sum(fused_window_attention(q, k, v, b, True) ** 2)
+
+    def loss_ref(b):
+        return jnp.sum(_ref_window_attention(q, k, v, b) ** 2)
+
+    gf = jax.grad(loss_fused)(bias2)
+    gr = jax.grad(loss_ref)(bias2)
+    n = q.shape[2]
+    for sl in (np.s_[:, :, :n, :n], np.s_[:, :, n:, n:]):
+        np.testing.assert_allclose(np.asarray(gf[sl]), np.asarray(gr[sl]),
+                                   atol=5e-4, rtol=1e-3)

@@ -54,6 +54,22 @@ def parse_args():
                         "(exact int16 canvas). Empty = per-domain default.")
     p.add_argument("--deterministic", action="store_true")
     p.add_argument("--verbose", type=int, default=1, help="0/1/2 logging verbosity")
+    p.add_argument("--ckpt_every", type=int, default=1,
+                   help="Checkpoint every N epochs (always keeps the final one; "
+                        "the reference checkpoints every epoch)")
+    p.add_argument("--packed_k", type=int, default=0,
+                   help="Top-K AC coefficients kept per block on the packed/cropped "
+                        "wire (0 = per-transfer default: 16 cropped/packed DCT, "
+                        "63 RGB)")
+    # multi-host (DCN) rendezvous — the reference's TCP/NCCL rendezvous
+    # (pipeline_utils.py:78-88) equivalent; single-host runs leave it unset
+    p.add_argument("--coordinator", type=str, default="",
+                   help="host:port of process 0 for multi-host training "
+                        "(jax.distributed.initialize); empty = single host")
+    p.add_argument("--num_processes", type=int, default=-1,
+                   help="Total process count for --coordinator (-1: autodetect)")
+    p.add_argument("--process_id", type=int, default=-1,
+                   help="This process's rank for --coordinator (-1: autodetect)")
     # hyperparameter overrides (-1 / '' sentinel = use preset)
     p.add_argument("--epochs", type=int, default=-1)
     p.add_argument("--batch", type=int, default=-1)
@@ -85,6 +101,16 @@ def main():
         level=logging.INFO,
     )
     args = parse_args()
+
+    if args.coordinator:
+        # must precede every backend-initializing JAX call in this process
+        from rgbnomore_tpu.parallel import init_distributed
+
+        init_distributed(
+            args.coordinator,
+            **({"num_processes": args.num_processes} if args.num_processes >= 0 else {}),
+            **({"process_id": args.process_id} if args.process_id >= 0 else {}),
+        )
 
     from rgbnomore_tpu.train.config import generate_config
 
@@ -151,6 +177,8 @@ def main():
             max_steps_per_epoch=args.max_steps_per_epoch or None,
             num_devices=None if args.num_devices < 0 else args.num_devices,
             transfer=transfer,
+            packed_k=args.packed_k or None,
+            ckpt_every=args.ckpt_every,
         )
 
     if args.delete_dataset:
