@@ -99,6 +99,14 @@ class _BaseLoader:
         raise NotImplementedError
 
     def _iterate(self, total_batches: int | None, cycle: bool):
+        if cycle and len(self) == 0:
+            # with drop_last a shard smaller than one batch yields ZERO
+            # batches per epoch; cycling would spin forever producing nothing
+            raise ValueError(
+                f"cannot cycle over an empty loader: shard has "
+                f"{self._shard_len()} examples < batch_size={self.batch_size} "
+                f"(drop_last)"
+            )
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

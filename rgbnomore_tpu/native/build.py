@@ -65,6 +65,7 @@ def build(force: bool = False) -> Path:
         "-march=native",  # the crop+resize f32 loops need AVX to keep up
         "-funroll-loops",
         "-ffp-contract=fast",
+        "-fopenmp-simd",  # `omp simd` pragmas only — no OpenMP runtime dep
         "-std=c++17",
         "-shared",
         "-fPIC",

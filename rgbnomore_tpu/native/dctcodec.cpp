@@ -26,7 +26,9 @@
 #include <csetjmp>
 #include <cstring>
 #include <functional>
+#include <atomic>
 #include <cstdint>
+#include <ctime>
 #include <string>
 #include <vector>
 
@@ -54,6 +56,23 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 long div_round_up(long a, long b) { return (a + b - 1) / b; }
+
+// ---------------------------------------------------------------------------
+// Optional stage profiler for the crop-before-pack path.  Thread-local ns
+// accumulators, enabled only when crop_profile(1) was called — zero cost on
+// the production path (a single relaxed bool test per stage).
+// ---------------------------------------------------------------------------
+struct CropProf {
+  std::atomic<uint64_t> decode{0}, extract_resize{0}, pack{0}, n{0};
+};
+std::atomic<bool> g_prof_enabled{false};
+CropProf g_prof;
+
+inline uint64_t prof_now() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return static_cast<uint64_t>(ts.tv_sec) * 1000000000ull + ts.tv_nsec;
+}
 
 // ---------------------------------------------------------------------------
 // Core decode: entropy-decode DCT coefficients from an initialized
@@ -645,19 +664,29 @@ void pack_block_topk_mask16(const int16_t* block, int k, int8_t* values,
 // Float-input mask16 packer for host-resized (dequantized) coefficients.
 // Same wire layout as pack_block_topk_mask16: exact int16 DC, int8 top-K ACs
 // with a uint8 integer scale, 8-byte occupancy mask, values in ascending
-// position order.
-void pack_block_topk_mask16_f32(const float* block, int k, int8_t* values,
-                                uint8_t* mask, uint8_t* scale_out,
-                                int16_t* dc_out) {
+// position order.  ``rows``/``stride``: block row u lives at
+// ``rows + u*stride`` in the resized plane; the 8 rows are gathered into one
+// contiguous local first (measured faster than strided passes).
+void pack_block_topk_mask16_f32(const float* rows, long stride, int k,
+                                int8_t* values, uint8_t* mask,
+                                uint8_t* scale_out, int16_t* dc_out) {
+  float block[kDct2];
+  for (int u = 0; u < kDct; ++u)
+    std::memcpy(block + u * kDct, rows + u * stride, kDct * sizeof(float));
   float dc = std::nearbyint(block[0]);
   if (dc > 32767.f) dc = 32767.f;
   if (dc < -32768.f) dc = -32768.f;
   *dc_out = static_cast<int16_t>(dc);
+  // One vectorized pass: |AC| + max reduction (omp simd lets GCC vectorize
+  // the float max without -ffast-math; -fopenmp-simd needs no runtime).
   float av[64];
   float maxabs = 0.f;
+  av[0] = 0.f;
+#pragma omp simd reduction(max : maxabs)
   for (int i = 1; i < 64; ++i) {
-    av[i] = std::fabs(block[i]);
-    if (av[i] > maxabs) maxabs = av[i];
+    const float a = std::fabs(block[i]);
+    av[i] = a;
+    maxabs = a > maxabs ? a : maxabs;
   }
   int scale = static_cast<int>(std::ceil(maxabs / 127.f));
   if (scale < 1) scale = 1;
@@ -668,15 +697,17 @@ void pack_block_topk_mask16_f32(const float* block, int k, int8_t* values,
   // int8 wire magnitude, walk buckets high->low to find the cut level, keep
   // everything above it plus position-order ties at the level.  Kept values
   // are written in ascending position order (the mask-format invariant).
+  // The quantize pass is branch-free and auto-vectorizes; the kept value IS
+  // +-qmag (same round-half-up on the magnitude the old per-element
+  // lround(block/scale) computed), so the select loop does no arithmetic.
   const float inv_scale = 1.0f / static_cast<float>(scale);
   uint8_t qmag[64];
-  int cnt[128] = {0};
   for (int i = 1; i < 64; ++i) {
     int q = static_cast<int>(av[i] * inv_scale + 0.5f);
-    if (q > 127) q = 127;
-    qmag[i] = static_cast<uint8_t>(q);
-    ++cnt[q];
+    qmag[i] = static_cast<uint8_t>(q > 127 ? 127 : q);
   }
+  uint8_t cnt[128] = {0};  // <= 63 entries per bucket: uint8 counts suffice
+  for (int i = 1; i < 64; ++i) ++cnt[qmag[i]];
   int level = 127, above = 0;
   while (level > 0 && above + cnt[level] <= k) above += cnt[level--];
   int quota = k - above;  // how many ties at `level` still fit
@@ -686,10 +717,7 @@ void pack_block_topk_mask16_f32(const float* block, int k, int8_t* values,
     if (q == 0 || q < level) continue;
     if (q == level && quota <= 0) continue;
     if (q == level) --quota;
-    long v = std::lround(block[i] / scale);
-    if (v > 127) v = 127;
-    if (v < -127) v = -127;
-    values[n++] = static_cast<int8_t>(v);
+    values[n++] = static_cast<int8_t>(block[i] < 0.f ? -q : q);
     mask[i >> 3] |= static_cast<uint8_t>(1u << (i & 7));
   }
   for (int j = n; j < k; ++j) values[j] = 0;
@@ -895,15 +923,12 @@ void apply_cols(const OpEntry& op, const float* tmp, long t8_rows, float* out,
 void pack_plane_mask16(const float* plane, int t, int k, int8_t* values,
                        uint8_t* mask, uint8_t* scales, int16_t* dcs) {
   const long T8 = static_cast<long>(t) * kDct;
-  float blk[kDct2];
   for (int r = 0; r < t; ++r) {
     for (int c = 0; c < t; ++c) {
-      for (int u = 0; u < kDct; ++u)
-        std::memcpy(blk + u * kDct, plane + (static_cast<long>(r) * kDct + u) * T8 + c * kDct,
-                    kDct * sizeof(float));
       const size_t off = static_cast<size_t>(r) * t + c;
-      pack_block_topk_mask16_f32(blk, k, values + off * k, mask + off * 8,
-                                 scales + off, dcs + off);
+      pack_block_topk_mask16_f32(
+          plane + static_cast<long>(r) * kDct * T8 + static_cast<long>(c) * kDct,
+          T8, k, values + off * k, mask + off * 8, scales + off, dcs + off);
     }
   }
 }
@@ -1191,10 +1216,17 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
     ok = false;
     *msg = err.message;
   } else {
+    const bool prof = g_prof_enabled.load(std::memory_order_relaxed);
+    uint64_t t0 = prof ? prof_now() : 0;
     jpeg_create_decompress(&cinfo);
     jpeg_stdio_src(&cinfo, f);
     jpeg_read_header(&cinfo, TRUE);
     jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
+    if (prof) {
+      uint64_t t1 = prof_now();
+      g_prof.decode.fetch_add(t1 - t0, std::memory_order_relaxed);
+      g_prof.n.fetch_add(1, std::memory_order_relaxed);
+    }
     info->num_components = cinfo.num_components;
     for (int i = 0; i < cinfo.num_components && i < 3; ++i) {
       info->height_in_blocks[i] = cinfo.comp_info[i].height_in_blocks;
@@ -1224,6 +1256,8 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
       // more in page faults + double zeroing than the resize math itself
       thread_local std::vector<float> win, tmp, out, gt, grp;
       const long t8 = static_cast<long>(t_y) * kDct;
+      const bool prof = g_prof_enabled.load(std::memory_order_relaxed);
+      uint64_t te0 = prof ? prof_now() : 0;
       const float* plane;
       if (bh == t_y && bw == t_y) {  // identity crop: extract + pack only
         win.resize(static_cast<size_t>(bh) * kDct * bw * kDct);
@@ -1237,7 +1271,14 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
         apply_cols(oyw, tmp.data(), t8, out.data(), &gt);
         plane = out.data();
       }
+      uint64_t tp0 = 0;
+      if (prof) {
+        tp0 = prof_now();
+        g_prof.extract_resize.fetch_add(tp0 - te0, std::memory_order_relaxed);
+      }
       pack_plane_mask16(plane, t_y, k, o.vy, o.my, o.sy, o.dy);
+      if (prof)
+        g_prof.pack.fetch_add(prof_now() - tp0, std::memory_order_relaxed);
 
       if (cinfo.num_components > 1) {
         // chroma box: offsets halved (multiples of 2 -> exact), sizes from
@@ -1253,6 +1294,7 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
           cout.resize(static_cast<size_t>(tc8) * tc8);
         }
         for (int comp = 1; comp < 3; ++comp) {
+          uint64_t ce0 = prof ? prof_now() : 0;
           const float* cplane;
           if (cident) {
             extract_window_f32(cinfo, arrays, comp, o.quant + comp * kDct2,
@@ -1264,10 +1306,17 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
             apply_cols(ocw, ctmp.data(), tc8, cout.data(), &gt);
             cplane = cout.data();
           }
+          uint64_t cp0 = 0;
+          if (prof) {
+            cp0 = prof_now();
+            g_prof.extract_resize.fetch_add(cp0 - ce0, std::memory_order_relaxed);
+          }
           const size_t plane_n = static_cast<size_t>(t_c) * t_c;
           const size_t po = (comp - 1) * plane_n;
           pack_plane_mask16(cplane, t_c, k, o.vc + po * k, o.mc + po * 8,
                             o.sc + po, o.dc + po);
+          if (prof)
+            g_prof.pack.fetch_add(prof_now() - cp0, std::memory_order_relaxed);
         }
       }
       jpeg_finish_decompress(&cinfo);
@@ -1717,7 +1766,23 @@ PyObject* py_decode_coeff(PyObject*, PyObject* args) {
   return Py_BuildValue("iiiN", c, h, w, b);
 }
 
+PyObject* py_crop_profile(PyObject*, PyObject* args) {
+  // crop_profile(enable: int) -> dict of accumulated per-stage nanoseconds.
+  // Reads + resets the counters; pass enable=1 before a measured run.
+  int enable = -1;
+  if (!PyArg_ParseTuple(args, "|i", &enable)) return nullptr;
+  if (enable >= 0) g_prof_enabled.store(enable != 0, std::memory_order_relaxed);
+  uint64_t dec = g_prof.decode.exchange(0, std::memory_order_relaxed);
+  uint64_t ext = g_prof.extract_resize.exchange(0, std::memory_order_relaxed);
+  uint64_t pak = g_prof.pack.exchange(0, std::memory_order_relaxed);
+  uint64_t n = g_prof.n.exchange(0, std::memory_order_relaxed);
+  return Py_BuildValue("{s:K,s:K,s:K,s:K}", "decode_ns", dec,
+                       "extract_resize_ns", ext, "pack_ns", pak, "n", n);
+}
+
 PyMethodDef methods[] = {
+    {"crop_profile", py_crop_profile, METH_VARARGS,
+     "Enable/disable the crop-path stage profiler; returns+resets counters."},
     {"read_coefficients", py_read_coefficients, METH_VARARGS,
      "Entropy-decode DCT coefficients from a JPEG file."},
     {"read_into_canvas", py_read_into_canvas, METH_VARARGS,

@@ -458,7 +458,11 @@ def train_and_eval(
     savepath = str(savepath)
     Path(savepath).resolve().parent.mkdir(parents=True, exist_ok=True)
     ckpt_dir = ckpt.checkpoint_dir(savepath, f"{cfg.model.arch}_{cfg.model.domain.lower()}")
-    writer = SummaryWriter(tensorboard_dir(savepath, cfg) if run_train else None)
+    # multi-host: TensorBoard and the final weights file are process-0-only
+    # (the reference's rank-0 gating, train.py:117/:202); Orbax checkpointing
+    # is itself multihost-aware and must be called by EVERY process
+    is_proc0 = jax.process_index() == 0
+    writer = SummaryWriter(tensorboard_dir(savepath, cfg) if run_train and is_proc0 else None)
 
     start_epoch = 0
     if load_ckpt_dir:
@@ -527,8 +531,9 @@ def train_and_eval(
                     {"val_acc": val["accuracy"], "val_loss": val["loss"], "train_loss": window.mean()},
                 )
             results.update({"val": val, "trainval": tval, "epoch": epoch})
-        save_params(savepath, trainer.state.params)
-        log.info("training complete; saved weights to %s", savepath)
+        if is_proc0:
+            save_params(savepath, trainer.state.params)
+            log.info("training complete; saved weights to %s", savepath)
 
     if run_eval and not run_train:
         weights = loadpath or savepath
