@@ -39,7 +39,7 @@ __all__ = [
 
 
 def split_packed_batch(
-    packed: jax.Array, canvas: int, k: int, fmt: str = "mask"
+    packed: jax.Array, canvas: int, k: int, fmt: str = "mask", geom: bool = False
 ) -> dict[str, jax.Array]:
     """Re-slice the consolidated (B, row) uint8 buffer into typed fields.
 
@@ -50,7 +50,7 @@ def split_packed_batch(
 
     from rgbnomore_tpu.data.loader import packed_layout
 
-    layout = packed_layout(canvas, k, fmt)
+    layout = packed_layout(canvas, k, fmt, geom=geom)
     b = packed.shape[0]
     out = {}
     for name, spec in layout.items():
@@ -144,6 +144,86 @@ def make_packed_rgb_decode(canvas: int = 64, k: int = 63, fmt: str = "mask16"):
         return decode_rgb_pixels(y, c), f["labels"], f["weights"]
 
     return decode
+
+
+def make_rgb_cropped_train_pipeline(cfg=None, *, size: int = 224, k: int = 63,
+                                    auglist=None, num_ops: int = 2,
+                                    magnitude: int = 10, fill: float = 128.0,
+                                    out_dtype=None):
+    """RGB crop-before-pack train pipeline: fixed-window wire -> JPEG tail
+    decode -> residual bilinear resample -> HFlip -> RandAugment -> [-1, 1].
+
+    The host already sampled the reference's pixel-granular RandomResizedCrop
+    box (``datasets.py:320``) and shipped only the block-aligned covering
+    window, pre-downsampled per axis by f in {1, 2, 4}
+    (``codec.read_rgb_crop_pack_row``); the wire's ``geom`` float4 carries the
+    residual fractional box, applied here with the same antialiased-bilinear
+    resampler the full-canvas path uses — so f=1 windows reproduce the dense
+    path's crop EXACTLY, and f>1 differ only by the spectral prefilter.
+
+    Returns ``fn(rng, packed_buf) -> (img (B,3,size,size), labels, weights)``.
+    """
+    import jax.numpy as jnp
+
+    from rgbnomore_tpu.augment.rgb import (
+        RandAugmentRGB,
+        _apply_separable_rgb,
+        _resample_matrix,
+    )
+    from rgbnomore_tpu.ops.pixel_decode import decode_rgb_pixels
+
+    if cfg is not None:
+        size = cfg.model.input_size
+        auglist = list(cfg.train.auglist)
+        num_ops = cfg.train.num_ops
+        magnitude = cfg.train.augstr
+    window = size // 8
+    aug = RandAugmentRGB(ops_list=list(auglist or []), num_ops=num_ops,
+                         magnitude=magnitude, image_hw=(size, size), fill=fill)
+
+    def pipeline(rng, packed_buf):
+        f = split_packed_batch(packed_buf, window, k, "mask16", geom=True)
+        y, c = unpack_fields(f, "mask16")  # wire carries DEQUANTIZED coeffs
+        img = decode_rgb_pixels(y, c)  # (B, 3, size, size) f32 pixels
+        g = f["geom"]
+        m_h = jax.vmap(lambda a, s: _resample_matrix(a, s, size, size))(g[:, 0], g[:, 1])
+        m_w = jax.vmap(lambda a, s: _resample_matrix(a, s, size, size))(g[:, 2], g[:, 3])
+        img = _apply_separable_rgb(img, m_h, m_w)
+        k_flip, k_aug = jax.random.split(rng)
+        flip = jax.random.bernoulli(k_flip, 0.5, (img.shape[0],))
+        img = jnp.where(flip[:, None, None, None], jnp.flip(img, axis=-1), img)
+        img = aug(k_aug, img)
+        img = (img / 255.0 * 2.0 - 1.0).astype(out_dtype or jnp.float32)
+        return img, f["labels"], f["weights"]
+
+    return pipeline
+
+
+def make_rgb_cropped_eval_pipeline(cfg=None, *, size: int = 224, k: int = 63,
+                                   out_dtype=None):
+    """Eval twin: the host shipped the Resize+CenterCrop (or swin whole-image)
+    source box; only the residual resample + range map run here."""
+    import jax.numpy as jnp
+
+    from rgbnomore_tpu.augment.rgb import _apply_separable_rgb, _resample_matrix
+    from rgbnomore_tpu.ops.pixel_decode import decode_rgb_pixels
+
+    if cfg is not None:
+        size = cfg.model.input_size
+    window = size // 8
+
+    def pipeline(packed_buf):
+        f = split_packed_batch(packed_buf, window, k, "mask16", geom=True)
+        y, c = unpack_fields(f, "mask16")
+        img = decode_rgb_pixels(y, c)
+        g = f["geom"]
+        m_h = jax.vmap(lambda a, s: _resample_matrix(a, s, size, size))(g[:, 0], g[:, 1])
+        m_w = jax.vmap(lambda a, s: _resample_matrix(a, s, size, size))(g[:, 2], g[:, 3])
+        img = _apply_separable_rgb(img, m_h, m_w)
+        img = (img / 255.0 * 2.0 - 1.0).astype(out_dtype or jnp.float32)
+        return img, f["labels"], f["weights"]
+
+    return pipeline
 
 
 def dequantize(y_q: jax.Array, c_q: jax.Array, quant: jax.Array):

@@ -170,7 +170,7 @@ def benchmark_model(cfg, iters: int, index_train: str, index_val: str,
     """
     from rgbnomore_tpu.train.loop import Trainer, make_loaders
 
-    transfer = transfer or ("cropped" if cfg.model.domain == "DCT" else "packed")
+    transfer = transfer or "cropped"  # both domains: crop-before-pack default
     devices = jax.devices()[:num_devices] if num_devices else None
     trainer = Trainer(cfg, devices=devices, transfer=transfer)
     loaders = make_loaders(cfg, index_train, index_val, num_threads=num_threads,

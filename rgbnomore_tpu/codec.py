@@ -37,10 +37,15 @@ __all__ = [
     "read_into_packed_mask16",
     "read_crop_resize_pack",
     "read_crop_resize_pack_row",
+    "read_rgb_crop_pack_row",
     "crop_row_offsets",
+    "rgb_crop_row_offsets",
     "CROP_RANDOM",
     "CROP_CENTER",
     "CROP_FULL",
+    "RGB_CROP_TRAIN",
+    "RGB_CROP_CENTER",
+    "RGB_CROP_FULL",
     "write_coefficients",
     "quantize_at_quality",
     "write_tensor",
@@ -243,6 +248,57 @@ def read_crop_resize_pack_row(
         uniforms, float(scale[0]), float(scale[1]), float(ratio),
         pack.evens, pack.spec, pack.data, row, offsets, int(label),
         float(weight),
+    )
+
+
+RGB_CROP_TRAIN = 0  # torchvision RandomResizedCrop box (datasets.py:320)
+RGB_CROP_CENTER = 1  # Resize(256) + CenterCrop(224) source box (datasets.py:328)
+RGB_CROP_FULL = 2  # whole image (swin val Resize only, datasets.py:347)
+
+
+def rgb_crop_row_offsets(layout: dict) -> np.ndarray:
+    """int64 (12,) byte offsets for :func:`read_rgb_crop_pack_row` — the 11
+    standard mask16 fields + the trailing ``geom`` float4, from a
+    ``data.loader.packed_layout(..., geom=True)`` layout."""
+    order = ("vy", "iy", "sy", "dy", "vc", "ic", "sc", "dc", "quant",
+             "labels", "weights", "geom")
+    return np.asarray([layout[f][0] for f in order], np.int64)
+
+
+def read_rgb_crop_pack_row(
+    path: str,
+    k: int,
+    t: int,
+    mode: int,
+    uniforms: np.ndarray,
+    g2: np.ndarray,
+    g4: np.ndarray,
+    row: np.ndarray,
+    offsets: np.ndarray,
+    label: int,
+    weight: float = 1.0,
+    *,
+    scale: tuple[float, float] = (0.05, 1.0),
+    resize_to: float = 256.0,
+    crop: float = 224.0,
+):
+    """RGB crop-before-pack loader hot path (one GIL-free call per image).
+
+    Samples the reference's PIXEL-granular RGB crop box (torchvision
+    RandomResizedCrop / Resize+CenterCrop semantics — unlike the DCT path's
+    block-snapped boxes), ships only the block-aligned window covering it in
+    a fixed ``t``-block mask16 wire, spectrally pre-downsampled per axis by
+    the smallest f in {1, 2, 4} that fits, with the residual fractional box
+    (``geom`` float4) left for the device's bilinear resample after the JPEG
+    tail decode.  ``uniforms`` float64 (22,): 10x(area, log-aspect) + 2
+    placement draws.  ``g2``/``g4``: ``croppack.rgb_downsample_blocks()``.
+
+    Returns ``(ncomp, yh, yw, wy0, wx0, wbh, wbw, fy, fx)`` (blocks).
+    """
+    return _dctcodec.read_rgb_crop_pack_row(
+        str(path), k, t, mode, np.ascontiguousarray(uniforms, np.float64),
+        float(scale[0]), float(scale[1]), float(resize_to), float(crop),
+        g2, g4, row, offsets, int(label), float(weight),
     )
 
 

@@ -36,7 +36,17 @@ import numpy as np
 
 from rgbnomore_tpu.ops.basis import resize_axis_operator
 
-__all__ = ["OpPack", "build_op_pack", "even_factors"]
+__all__ = ["OpPack", "build_op_pack", "even_factors", "rgb_downsample_blocks"]
+
+
+@functools.lru_cache(maxsize=None)
+def rgb_downsample_blocks() -> tuple[np.ndarray, np.ndarray]:
+    """(g2, g4): the group blocks of ``resize_axis_operator(f, 1)`` for the
+    RGB crop-before-pack path's per-axis {2, 4}:1 spectral pre-downsample
+    (``codec.read_rgb_crop_pack_row``).  Shapes (8, 16) and (8, 32) f32."""
+    g2 = np.array(resize_axis_operator(2, 1)[:8, :16], np.float32, copy=True)
+    g4 = np.array(resize_axis_operator(4, 1)[:8, :32], np.float32, copy=True)
+    return g2, g4
 
 
 def even_factors(target: int) -> list[int]:

@@ -218,7 +218,7 @@ class DctCanvasLoader(_BaseLoader):
         return {"y": y, "cbcr": c, "quant": quant, "labels": labels, "weights": weights}
 
 
-def packed_layout(canvas: int, k: int, fmt: str = "mask") -> dict:
+def packed_layout(canvas: int, k: int, fmt: str = "mask", geom: bool = False) -> dict:
     """Per-SAMPLE byte layout of the consolidated packed row.
 
     All per-sample fields live in one uint8 row so a whole batch transfers as
@@ -251,6 +251,10 @@ def packed_layout(canvas: int, k: int, fmt: str = "mask") -> dict:
     if fmt == "mask16":
         fields["dy"] = ((1, canvas, canvas), np.int16)
         fields["dc"] = ((2, cv2, cv2), np.int16)
+    if geom:
+        # RGB crop-before-pack residual-resample box: sy0, sh, sx0, sw in
+        # downsampled-window pixel coords (see codec.read_rgb_crop_pack_row)
+        fields["geom"] = ((4,), np.float32)
     layout = {}
     off = 0
     for name, (shape, dtype) in fields.items():
@@ -391,6 +395,67 @@ class DctCroppedLoader(_BaseLoader):
                 scale=self.scale, ratio=self.center_ratio,
             )
             _check_chroma_grid(path, ncomp, yh, yw, ch, cw)
+            labels[slot] = label
+            weights[slot] = 1.0
+
+        list(pool.map(lambda args: work(*args), enumerate(idx)))
+        return {"packed": buf, "labels": labels, "weights": weights}
+
+
+class RgbCroppedLoader(_BaseLoader):
+    """RGB crop-before-pack loader: the host samples the reference's
+    PIXEL-granular crop box (torchvision RandomResizedCrop for train,
+    Resize+CenterCrop for ViT val, whole-image for swin val —
+    ``datasets.py:317-347``), ships only the block-aligned window covering it
+    in a fixed ``size/8``-block mask16 wire (~87 KB/img at 224 vs 444 KB for
+    the full 64-block canvas), spectrally pre-downsampled per axis by the
+    smallest f in {1, 2, 4} that fits.  The device JPEG-tail-decodes the
+    window and applies the residual fractional box with the same bilinear
+    resampler the full-canvas path uses
+    (``augment.pipeline.make_rgb_cropped_*_pipeline``).
+    """
+
+    def __init__(self, dataset: IndexDataset, batch_size: int, size: int = 224,
+                 k: int = 63, mode: str = "train",
+                 scale: tuple[float, float] = (0.05, 1.0),
+                 resize_to: float = 256.0, **kw):
+        super().__init__(dataset, batch_size, **kw)
+        from rgbnomore_tpu.data.croppack import rgb_downsample_blocks
+
+        assert mode in ("train", "center", "full"), mode
+        assert size % 16 == 0, "window needs whole chroma blocks"
+        self.size = size
+        self.k = k
+        self.mode = mode
+        self.mode_int = {"train": codec.RGB_CROP_TRAIN,
+                         "center": codec.RGB_CROP_CENTER,
+                         "full": codec.RGB_CROP_FULL}[mode]
+        self.scale = scale
+        self.resize_to = resize_to
+        self.g2, self.g4 = rgb_downsample_blocks()
+        self.layout = packed_layout(size // 8, k, "mask16", geom=True)
+        self._offsets = codec.rgb_crop_row_offsets(self.layout)
+
+    def _decode_batch(self, pool: ThreadPoolExecutor, idx: np.ndarray,
+                      batch_index: int = 0) -> dict:
+        buf = np.zeros((self.batch_size, self.layout["row"]), np.uint8)
+        labels = np.zeros((self.batch_size,), np.int32)
+        weights = np.zeros((self.batch_size,), np.float32)
+        rng = np.random.default_rng([self.seed, self.epoch, batch_index])
+        uniforms = rng.random((self.batch_size, 22))
+        ds_labels = self.dataset.labels
+        ds_paths = self.dataset.paths
+
+        def work(slot: int, ds_index: int):
+            if ds_index < 0:  # shard-padding sentinel
+                return
+            label = int(ds_labels[ds_index])
+            codec.read_rgb_crop_pack_row(
+                ds_paths[ds_index], self.k, self.size // 8, self.mode_int,
+                uniforms[slot], self.g2, self.g4, buf[slot], self._offsets,
+                label, 1.0, scale=self.scale, resize_to=self.resize_to,
+                crop=float(self.size),
+            )
             labels[slot] = label
             weights[slot] = 1.0
 

@@ -1327,6 +1327,281 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
   return ok;
 }
 
+// ---------------------------------------------------------------------------
+// RGB crop-before-pack: host-sample the reference's PIXEL-granular RGB crop
+// box (torchvision RandomResizedCrop semantics, datasets.py:320 — unlike the
+// DCT path's block-snapped boxes), ship only the block-aligned window that
+// covers it, spectrally pre-downsampled by a per-axis factor f in {1,2,4} so
+// it always fits a fixed t-block wire, and let the device JPEG-tail-decode
+// the window and bilinear-resample the residual fractional box.
+// ---------------------------------------------------------------------------
+
+enum RgbCropMode { kRgbTrain = 0, kRgbCenter = 1, kRgbFull = 2 };
+
+// torchvision RandomResizedCrop.get_params: 10 tries of (area, log-aspect)
+// draws + one (i, j) placement, center-crop fallback.  uniforms: 10x2 + 2.
+void sample_rrc_pixel_box(long H, long W, const double* u, double s0,
+                          double s1, long* bi, long* bj, long* bh, long* bw) {
+  const double area = static_cast<double>(H) * W;
+  const double lr0 = std::log(3.0 / 4.0), lr1 = std::log(4.0 / 3.0);
+  for (int t = 0; t < 10; ++t) {
+    const double target_area = area * (s0 + u[2 * t] * (s1 - s0));
+    const double aspect = std::exp(lr0 + u[2 * t + 1] * (lr1 - lr0));
+    long w = std::lround(std::sqrt(target_area * aspect));
+    long h = std::lround(std::sqrt(target_area / aspect));
+    if (0 < w && w <= W && 0 < h && h <= H) {
+      long i = static_cast<long>(u[20] * (H - h + 1));
+      if (i > H - h) i = H - h;
+      long j = static_cast<long>(u[21] * (W - w + 1));
+      if (j > W - w) j = W - w;
+      *bi = i; *bj = j; *bh = h; *bw = w;
+      return;
+    }
+  }
+  const double in_ratio = static_cast<double>(W) / H;
+  long w, h;
+  if (in_ratio < 3.0 / 4.0) {
+    w = W;
+    h = std::lround(w / (3.0 / 4.0));
+  } else if (in_ratio > 4.0 / 3.0) {
+    h = H;
+    w = std::lround(h * (4.0 / 3.0));
+  } else {
+    w = W;
+    h = H;
+  }
+  *bi = (H - h) / 2; *bj = (W - w) / 2; *bh = h; *bw = w;
+}
+
+// One axis: pick the 16px-aligned block window [w0, w0+wb) covering pixel
+// span [p0, p0+len) and the smallest factor f in {1,2,4} with wb/f <= t.
+// wb must be a multiple of 2f so the halved CHROMA window (wb/2 blocks)
+// divides by f too.  Returns false if even f=4 cannot fit (axis > 32*t px).
+bool window_axis(double p0, double len, long t, long* w0, long* wb, int* f) {
+  long b0 = static_cast<long>(std::floor(p0 / 16.0)) * 2;
+  if (b0 < 0) b0 = 0;
+  long b1 = static_cast<long>(std::ceil((p0 + len) / 16.0)) * 2;
+  if (b1 <= b0) b1 = b0 + 2;
+  long n = b1 - b0;  // even by construction
+  int fac;
+  if (n <= t) {
+    fac = 1;
+  } else if ((n + 3) / 4 * 4 <= 2 * t) {
+    fac = 2;
+    n = (n + 3) / 4 * 4;
+  } else {
+    n = (n + 7) / 8 * 8;
+    if (n > 4 * t) return false;
+    fac = 4;
+  }
+  *w0 = b0;
+  *wb = n;
+  *f = fac;
+  return true;
+}
+
+// Rectangular mask16 pack: (th, tw) resized blocks into the top-left of a
+// (grid, grid) wire; the rest of the wire keeps its zero fill.
+void pack_plane_rect_mask16(const float* plane, int th, int tw, int grid,
+                            int k, int8_t* values, uint8_t* mask,
+                            uint8_t* scales, int16_t* dcs) {
+  const long W8 = static_cast<long>(tw) * kDct;
+  for (int r = 0; r < th; ++r) {
+    for (int c = 0; c < tw; ++c) {
+      const size_t off = static_cast<size_t>(r) * grid + c;
+      pack_block_topk_mask16_f32(
+          plane + static_cast<long>(r) * kDct * W8 + static_cast<long>(c) * kDct,
+          W8, k, values + off * k, mask + off * 8, scales + off, dcs + off);
+    }
+  }
+}
+
+// Extract one component's window and apply the per-axis {1,2,4} spectral
+// downsample.  g2/g4: the (8, f*8) group blocks of resize_axis_operator(f,1).
+// Writes the resized (bh/fy*8, bw/fx*8) plane pointer into *plane.
+void extract_downsample(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays,
+                        int comp, const int16_t* quant, long bi, long bj,
+                        long bh, long bw, int fy, int fx, const float* g2,
+                        const float* g4, std::vector<float>* win,
+                        std::vector<float>* tmp, std::vector<float>* out,
+                        std::vector<float>* gt, std::vector<float>* grp,
+                        const float** plane) {
+  const long oh8 = bh / fy * kDct, ow8 = bw / fx * kDct;
+  if (fy == 1 && fx == 1) {
+    win->resize(static_cast<size_t>(bh) * kDct * bw * kDct);
+    extract_window_f32(cinfo, arrays, comp, quant, bi, bj, bh, bw, win->data());
+    *plane = win->data();
+    return;
+  }
+  OpEntry oy{static_cast<int>(bh), static_cast<int>(bh / fy), fy, 1,
+             fy == 2 ? g2 : g4};
+  OpEntry ox{static_cast<int>(bw), static_cast<int>(bw / fx), fx, 1,
+             fx == 2 ? g2 : g4};
+  if (fy == 1) {
+    win->resize(static_cast<size_t>(bh) * kDct * bw * kDct);
+    extract_window_f32(cinfo, arrays, comp, quant, bi, bj, bh, bw, win->data());
+    out->resize(static_cast<size_t>(oh8) * ow8);
+    apply_cols(ox, win->data(), oh8, out->data(), gt);
+    *plane = out->data();
+    return;
+  }
+  tmp->resize(static_cast<size_t>(oh8) * bw * kDct);
+  extract_resize_rows(cinfo, arrays, comp, quant, bi, bj, bh, bw, oy,
+                      tmp->data(), grp);
+  if (fx == 1) {
+    *plane = tmp->data();
+    return;
+  }
+  out->resize(static_cast<size_t>(oh8) * ow8);
+  apply_cols(ox, tmp->data(), oh8, out->data(), gt);
+  *plane = out->data();
+}
+
+// Core: decode -> pixel box -> per-axis window+factor -> extract+downsample
+// -> rect mask16 pack (t-block luma, t/2-block chroma) + residual-resample
+// geometry in window pixels.  geom: [sy0, sh, sx0, sw] f32.
+bool rgb_crop_pack_core(const char* path, int k, int t, RgbCropMode mode,
+                        const double* uniforms, double scale_lo, double scale_hi,
+                        double resize_to, double crop, const float* g2,
+                        const float* g4, CropPackPtrs o, CoeffInfo* info,
+                        long* win_out, float* geom, std::string* msg) {
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    *msg = "unable to open file";
+    return false;
+  }
+  jpeg_decompress_struct cinfo{};
+  ErrorMgr err{};
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = error_exit;
+
+  const int t_c = t / 2;
+  const size_t yblk = static_cast<size_t>(t) * t;
+  const size_t cblk = 2 * static_cast<size_t>(t_c) * t_c;
+  bool ok = true;
+  std::memset(o.vy, 0, yblk * k);
+  std::memset(o.my, 0, yblk * 8);
+  std::memset(o.sy, 1, yblk);
+  std::memset(o.vc, 0, cblk * k);
+  std::memset(o.mc, 0, cblk * 8);
+  std::memset(o.sc, 1, cblk);
+  std::memset(o.dc, 0, cblk * sizeof(int16_t));  // neutral chroma
+  // out-of-window area decodes to BLACK: Y DC -1024 (dequantized wire)
+  for (size_t i = 0; i < yblk; ++i) o.dy[i] = -1024;
+
+  if (setjmp(err.jump)) {
+    ok = false;
+    *msg = err.message;
+  } else {
+    const bool prof = g_prof_enabled.load(std::memory_order_relaxed);
+    uint64_t t0 = prof ? prof_now() : 0;
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
+    if (prof) {
+      g_prof.decode.fetch_add(prof_now() - t0, std::memory_order_relaxed);
+      g_prof.n.fetch_add(1, std::memory_order_relaxed);
+    }
+    info->num_components = cinfo.num_components;
+    for (int i = 0; i < cinfo.num_components && i < 3; ++i) {
+      info->height_in_blocks[i] = cinfo.comp_info[i].height_in_blocks;
+      info->width_in_blocks[i] = cinfo.comp_info[i].width_in_blocks;
+    }
+    extract_quant(cinfo, 0, o.quant);
+    if (cinfo.num_components > 1) {
+      extract_quant(cinfo, 1, o.quant + kDct2);
+      extract_quant(cinfo, 2, o.quant + 2 * kDct2);
+    } else {
+      for (int i = kDct2; i < 3 * kDct2; ++i) o.quant[i] = 1;
+    }
+
+    // the halved chroma windows below assume 4:2:0 (or grayscale)
+    if (cinfo.num_components > 1 &&
+        (cinfo.num_components != 3 ||
+         info->height_in_blocks[1] != (info->height_in_blocks[0] + 1) / 2 ||
+         info->width_in_blocks[1] != (info->width_in_blocks[0] + 1) / 2)) {
+      *msg = "RGB cropped wire needs 4:2:0 chroma (stage_dataset re-encodes)";
+      jpeg_destroy_decompress(&cinfo);
+      fclose(f);
+      return false;
+    }
+
+    const long H = cinfo.image_height, W = cinfo.image_width;
+    double py, px, ph, pw;  // pixel box (float: eval boxes are fractional)
+    if (mode == kRgbTrain) {
+      long bi, bj, bh, bw;
+      sample_rrc_pixel_box(H, W, uniforms, scale_lo, scale_hi, &bi, &bj, &bh, &bw);
+      py = bi; px = bj; ph = bh; pw = bw;
+    } else if (mode == kRgbCenter) {
+      // Resize(resize_to) short side + CenterCrop(crop) == center box of
+      // crop * min(H,W) / resize_to source pixels (datasets.py:328-329)
+      const double s = crop * std::min(H, W) / resize_to;
+      py = (H - s) / 2.0; px = (W - s) / 2.0; ph = s; pw = s;
+    } else {  // whole-image (swin val Resize only, datasets.py:347)
+      py = 0; px = 0; ph = H; pw = W;
+    }
+
+    long wy0, wx0, wbh, wbw;
+    int fy, fx;
+    if (!window_axis(py, ph, t, &wy0, &wbh, &fy) ||
+        !window_axis(px, pw, t, &wx0, &wbw, &fx)) {
+      ok = false;
+      *msg = "image too large for the cropped RGB wire (needs f > 4)";
+    } else {
+      win_out[0] = wy0; win_out[1] = wx0; win_out[2] = wbh; win_out[3] = wbw;
+      win_out[4] = fy; win_out[5] = fx;
+      geom[0] = static_cast<float>((py - wy0 * 8.0) / fy);
+      geom[1] = static_cast<float>(ph / fy);
+      geom[2] = static_cast<float>((px - wx0 * 8.0) / fx);
+      geom[3] = static_cast<float>(pw / fx);
+
+      thread_local std::vector<float> win, tmp, out, gt, grp;
+      const bool prof2 = g_prof_enabled.load(std::memory_order_relaxed);
+      uint64_t te0 = prof2 ? prof_now() : 0;
+      const float* plane;
+      extract_downsample(cinfo, arrays, 0, o.quant, wy0, wx0, wbh, wbw, fy, fx,
+                         g2, g4, &win, &tmp, &out, &gt, &grp, &plane);
+      uint64_t tp0 = 0;
+      if (prof2) {
+        tp0 = prof_now();
+        g_prof.extract_resize.fetch_add(tp0 - te0, std::memory_order_relaxed);
+      }
+      pack_plane_rect_mask16(plane, wbh / fy, wbw / fx, t, k, o.vy, o.my, o.sy,
+                             o.dy);
+      if (prof2)
+        g_prof.pack.fetch_add(prof_now() - tp0, std::memory_order_relaxed);
+
+      if (cinfo.num_components > 1) {
+        thread_local std::vector<float> cwin, ctmp, cout;
+        for (int comp = 1; comp < 3; ++comp) {
+          uint64_t ce0 = prof2 ? prof_now() : 0;
+          const float* cplane;
+          extract_downsample(cinfo, arrays, comp, o.quant + comp * kDct2,
+                             wy0 / 2, wx0 / 2, wbh / 2, wbw / 2, fy, fx, g2,
+                             g4, &cwin, &ctmp, &cout, &gt, &grp, &cplane);
+          uint64_t cp0 = 0;
+          if (prof2) {
+            cp0 = prof_now();
+            g_prof.extract_resize.fetch_add(cp0 - ce0, std::memory_order_relaxed);
+          }
+          const size_t plane_n = static_cast<size_t>(t_c) * t_c;
+          const size_t po = (comp - 1) * plane_n;
+          pack_plane_rect_mask16(cplane, wbh / 2 / fy, wbw / 2 / fx, t_c, k,
+                                 o.vc + po * k, o.mc + po * 8, o.sc + po,
+                                 o.dc + po);
+          if (prof2)
+            g_prof.pack.fetch_add(prof_now() - cp0, std::memory_order_relaxed);
+        }
+      }
+      jpeg_finish_decompress(&cinfo);
+    }
+  }
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return ok;
+}
+
 // --- read_crop_resize_pack(path, k, mode, t_y, t_c, max_src, uniforms,
 //         scale_lo, scale_hi, ratio, evens, spec, data,
 //         vy, my, sy, dy, vc, mc, sc, dc, quant)
@@ -1469,6 +1744,84 @@ PyObject* py_read_crop_resize_pack_row(PyObject*, PyObject* args) {
   return Py_BuildValue("iiiiillll", info.num_components, info.height_in_blocks[0],
                        info.width_in_blocks[0], info.height_in_blocks[1],
                        info.width_in_blocks[1], box[0], box[1], box[2], box[3]);
+}
+
+// --- read_rgb_crop_pack_row(path, k, t, mode, uniforms, scale_lo, scale_hi,
+//         resize_to, crop, g2, g4, row, offsets, label, weight)
+//     -> (ncomp, H, W, wy0, wx0, wbh, wbw, fy, fx) ----------------------------
+// RGB crop-before-pack loader hot path.  `offsets` is int64 (12,): the 11
+// standard row fields + a trailing [geom] offset (4 f32: sy0, sh, sx0, sw in
+// downsampled-window pixels for the device's residual bilinear resample).
+// g2/g4: (8, 16)/(8, 32) f32 group blocks of resize_axis_operator(f, 1).
+PyObject* py_read_rgb_crop_pack_row(PyObject*, PyObject* args) {
+  const char* path;
+  int k, t, mode;
+  double scale_lo, scale_hi, resize_to, crop, weight;
+  long label;
+  Py_buffer ub, g2b, g4b, rb, ob;
+  if (!PyArg_ParseTuple(args, "siiiw*ddddw*w*w*w*ld", &path, &k, &t, &mode, &ub,
+                        &scale_lo, &scale_hi, &resize_to, &crop, &g2b, &g4b,
+                        &rb, &ob, &label, &weight))
+    return nullptr;
+
+  std::vector<Py_buffer*> bufs = {&ub, &g2b, &g4b, &rb, &ob};
+  auto fail = [&](PyObject* exc, const char* m) -> PyObject* {
+    for (auto* b : bufs) PyBuffer_Release(b);
+    PyErr_SetString(exc, m);
+    return nullptr;
+  };
+
+  const int t_c = t / 2;
+  const size_t yblk = static_cast<size_t>(t) * t;
+  const size_t cblk = 2 * static_cast<size_t>(t_c) * t_c;
+  if (t % 2 || ub.len < 22 * static_cast<Py_ssize_t>(sizeof(double)) ||
+      static_cast<size_t>(g2b.len) < 8 * 16 * sizeof(float) ||
+      static_cast<size_t>(g4b.len) < 8 * 32 * sizeof(float) ||
+      static_cast<size_t>(ob.len) < 12 * sizeof(int64_t))
+    return fail(PyExc_ValueError, "uniforms/g2/g4/offsets buffers too small");
+  const int64_t* off = static_cast<const int64_t*>(ob.buf);
+  const size_t ext[12] = {yblk * k, yblk * 8, yblk, yblk * 2, cblk * k,
+                          cblk * 8, cblk, cblk * 2, 3 * kDct2 * 2, 4, 4, 16};
+  for (int i = 0; i < 12; ++i) {
+    if (off[i] < 0 || static_cast<size_t>(off[i]) + ext[i] > static_cast<size_t>(rb.len))
+      return fail(PyExc_ValueError, "row offsets out of bounds");
+  }
+  uint8_t* row = static_cast<uint8_t*>(rb.buf);
+  CropPackPtrs o{reinterpret_cast<int8_t*>(row + off[0]), row + off[1],
+                 row + off[2], reinterpret_cast<int16_t*>(row + off[3]),
+                 reinterpret_cast<int8_t*>(row + off[4]), row + off[5],
+                 row + off[6], reinterpret_cast<int16_t*>(row + off[7]),
+                 reinterpret_cast<int16_t*>(row + off[8])};
+  CoeffInfo info;
+  long win[6] = {0, 0, 0, 0, 1, 1};
+  float geom[4] = {0, 0, 0, 0};
+  std::string msg;
+  bool ok;
+  Py_BEGIN_ALLOW_THREADS;
+  ok = rgb_crop_pack_core(path, k, t, static_cast<RgbCropMode>(mode),
+                          static_cast<const double*>(ub.buf), scale_lo,
+                          scale_hi, resize_to, crop,
+                          static_cast<const float*>(g2b.buf),
+                          static_cast<const float*>(g4b.buf), o, &info, win,
+                          geom, &msg);
+  if (ok) {
+    int32_t lab = static_cast<int32_t>(label);
+    float w = static_cast<float>(weight);
+    std::memcpy(row + off[9], &lab, sizeof(lab));
+    std::memcpy(row + off[10], &w, sizeof(w));
+    std::memcpy(row + off[11], geom, sizeof(geom));
+  }
+  Py_END_ALLOW_THREADS;
+
+  for (auto* b : bufs) PyBuffer_Release(b);
+  if (!ok) {
+    PyErr_Format(PyExc_RuntimeError, "rgb_crop_pack: %s (%s)", msg.c_str(), path);
+    return nullptr;
+  }
+  return Py_BuildValue("iiillllll", info.num_components,
+                       static_cast<int>(info.height_in_blocks[0]),
+                       static_cast<int>(info.width_in_blocks[0]), win[0],
+                       win[1], win[2], win[3], win[4], win[5]);
 }
 
 PyObject* py_read_into_packed(PyObject*, PyObject* args) {
@@ -1797,6 +2150,8 @@ PyMethodDef methods[] = {
      "Decode + host crop/resize to the target grid + mask16 pack."},
     {"read_crop_resize_pack_row", py_read_crop_resize_pack_row, METH_VARARGS,
      "Crop/resize/pack into one consolidated row buffer (loader hot path)."},
+    {"read_rgb_crop_pack_row", py_read_rgb_crop_pack_row, METH_VARARGS,
+     "RGB crop-before-pack: pixel box window + {1,2,4} spectral downsample."},
     {"write_coefficients", py_write_coefficients, METH_VARARGS,
      "Write DCT coefficients to a JPEG file."},
     {"quantize_at_quality", py_quantize_at_quality, METH_VARARGS,

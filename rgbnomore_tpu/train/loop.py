@@ -98,16 +98,25 @@ class Trainer:
         self.canvas = canvas
         self.domain = cfg.model.domain
         assert transfer in ("packed", "dense", "cropped"), transfer
-        if transfer == "cropped" and cfg.model.domain != "DCT":
-            raise ValueError("transfer='cropped' is DCT-domain only; RGB ships "
-                             "full-canvas coefficients for on-device decode")
         self.transfer = transfer
         d_fmt, d_k = packed_defaults(self.domain)
         self.packed_fmt = packed_fmt or d_fmt
-        self.packed_k = packed_k or (16 if transfer == "cropped" else d_k)
+        self.packed_k = packed_k or (
+            (16 if self.domain == "DCT" else 63) if transfer == "cropped" else d_k
+        )
         packed_fmt = self.packed_fmt
         packed = transfer == "packed"
-        if transfer == "cropped":
+        if transfer == "cropped" and self.domain == "RGB":
+            # RGB crop-before-pack: fixed-window wire, device does tail
+            # decode + residual bilinear + flip + RandAugment
+            from rgbnomore_tpu.augment.pipeline import (
+                make_rgb_cropped_eval_pipeline,
+                make_rgb_cropped_train_pipeline,
+            )
+
+            self.train_pipe = make_rgb_cropped_train_pipeline(cfg, k=self.packed_k)
+            self.eval_pipe = make_rgb_cropped_eval_pipeline(cfg, k=self.packed_k)
+        elif transfer == "cropped":
             # host crop-before-pack: device does unpack+flip+aug only
             from rgbnomore_tpu.augment.pipeline import (
                 make_cropped_eval_pipeline,
@@ -366,7 +375,18 @@ def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int =
     # 1/P slice of every global batch (assembled in Trainer._put)
     bsz = (global_batch or cfg.train.batch_size) // jax.process_count()
     shard_kw = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
-    if transfer == "cropped":
+    if transfer == "cropped" and cfg.model.domain == "RGB":
+        from rgbnomore_tpu.data.loader import RgbCroppedLoader
+
+        # RGB crop-before-pack: pixel-granular boxes on host, window wire
+        eval_mode = "full" if cfg.model.arch == "swinv2" else "center"
+        mk = lambda ds, shuffle, drop: RgbCroppedLoader(
+            ds, bsz, size=cfg.model.input_size, k=packed_k or 63,
+            mode="train" if shuffle else eval_mode,
+            shuffle=shuffle, drop_last=drop, seed=cfg.seed,
+            num_threads=num_threads, **shard_kw,
+        )
+    elif transfer == "cropped":
         from rgbnomore_tpu.data.loader import DctCroppedLoader
 
         # host crop-before-pack: train gets the random-resized-crop box

@@ -94,7 +94,7 @@ def main() -> None:
                                                   n_devices=1)
                 r[f"model_{args.phase}_fps"] = round(n / dt, 1)
             else:
-                transfer = "cropped" if cfg.model.domain == "DCT" else "packed"
+                transfer = "cropped"  # both domains: crop-before-pack default
                 trainer = Trainer(cfg, transfer=transfer)
                 loaders = make_loaders(cfg, str(index), str(index), num_threads=2,
                                        global_batch=trainer.global_batch(),

@@ -136,9 +136,11 @@ def main():
     from rgbnomore_tpu.train.config import configure_determinism
 
     configure_determinism(cfg)
-    # per-domain transfer default: host crop-before-pack for DCT (the
-    # reference's data movement order), packed coefficients for RGB
-    transfer = args.transfer or ("cropped" if cfg.model.domain == "DCT" else "packed")
+    # default transfer: host crop-before-pack in BOTH domains (the
+    # reference's data movement order — crop/resize on CPU before anything
+    # ships, datasets.py:317-335); --transfer packed/dense keep the
+    # full-canvas paths
+    transfer = args.transfer or "cropped"
 
     if args.stage_data:
         from rgbnomore_tpu.data.staging import stage_dataset
