@@ -104,7 +104,7 @@ def main() -> None:
         load_ckpt_dir=str(workdir / "checkpoints" / "vitti_dct")
         if (workdir / "checkpoints" / "vitti_dct").exists() else "",
         run_train=True, run_eval=True, verbose=1, num_threads=2,
-        ckpt_every=5, canvas=32,
+        ckpt_every=5, canvas=32, transfer="cropped",
     )
     row = {
         "domain": "dct", "amp": False, "batch": args.batch, "mixup": True,

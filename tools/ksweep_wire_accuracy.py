@@ -91,10 +91,16 @@ def main() -> None:
     ap.add_argument("--weights", default="/tmp/recipe_run_dct_nomix/model.msgpack")
     ap.add_argument("--limit", type=int, default=600)
     ap.add_argument("--ks", type=int, nargs="*", default=[8, 12, 16, 24, 32, 48, 63])
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu (default: safe to run beside a TPU job) or tpu")
     args = ap.parse_args()
 
     import jax
 
+    # Must be set via jax.config right after import: the container's
+    # sitecustomize registers the axon TPU backend at interpreter start, so
+    # JAX_PLATFORMS in the environment is latched too late (CLAUDE.md).
+    jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
