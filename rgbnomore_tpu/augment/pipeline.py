@@ -115,7 +115,7 @@ def unpack_fields(f: dict, fmt: str):
     unpack = unpack_coefficients if fmt == "index" else unpack_coefficients_mask
     y = unpack(f["vy"], f["iy"], f["sy"])
     c = unpack(f["vc"], f["ic"], f["sc"])
-    if fmt == "mask16":  # exact int16 DC rides in its own plane
+    if fmt in ("mask16", "mask16w"):  # exact int16 DC rides in its own plane
         y = y.at[..., 0, 0].set(f["dy"].astype(jnp.float32))
         c = c.at[..., 0, 0].set(f["dc"].astype(jnp.float32))
     return y, c
@@ -323,6 +323,7 @@ def make_cropped_train_pipeline(
     magnitude: int = 3,
     out_dtype=jnp.float32,
     k: int = 16,
+    fmt: str = "mask16",
 ) -> Callable:
     """Train pipeline for the crop-before-pack wire (``DctCroppedLoader``).
 
@@ -342,8 +343,8 @@ def make_cropped_train_pipeline(
 
     def pipeline(rng, packed_buf):
         k_flip, k_aug = jax.random.split(rng)
-        f = split_packed_batch(packed_buf, target, k, "mask16")
-        y, c = unpack_fields(f, "mask16")  # already-dequantized floats
+        f = split_packed_batch(packed_buf, target, k, fmt)
+        y, c = unpack_fields(f, fmt)  # already-dequantized floats
         y, c = random_flip(k_flip, y, c)
         y, c = aug(k_aug, y, c)
         return (to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype),
@@ -358,6 +359,7 @@ def make_cropped_eval_pipeline(
     target: int = 28,
     out_dtype=jnp.float32,
     k: int = 16,
+    fmt: str = "mask16",
 ) -> Callable:
     """Eval pipeline for the crop-before-pack wire: the host already did the
     deterministic center-crop (ViT) / full resize (swin), so the device just
@@ -366,8 +368,8 @@ def make_cropped_eval_pipeline(
         target = cfg.model.dct_blocks
 
     def pipeline(packed_buf):
-        f = split_packed_batch(packed_buf, target, k, "mask16")
-        y, c = unpack_fields(f, "mask16")
+        f = split_packed_batch(packed_buf, target, k, fmt)
+        y, c = unpack_fields(f, fmt)
         return (to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype),
                 f["labels"], f["weights"])
 

@@ -233,22 +233,26 @@ def packed_layout(canvas: int, k: int, fmt: str = "mask", geom: bool = False) ->
     (..., K)) — 33 B/block.  Same int8-value quantization either way.
     ``fmt="mask16"``: like ``mask`` plus exact int16 DC planes ``dy``/``dc``
     and a DC-free AC scale — near-lossless, K+11 B/block (RGB-domain default).
+    ``fmt="mask16w"``: mask16 with int16 AC values (scale pinned 1) — exact
+    for identity crops, +-0.5 dequant units otherwise, 2K+11 B/block.  Meant
+    for eval wires where the top-1 budget outranks bytes (KSWEEP.json).
     """
-    assert fmt in ("mask", "index", "mask16"), fmt
+    assert fmt in ("mask", "index", "mask16", "mask16w"), fmt
     cv2 = canvas // 2
     iw = k if fmt == "index" else 8  # index/mask bytes per block
+    vdt = np.int16 if fmt == "mask16w" else np.int8
     fields = {
-        "vy": ((1, canvas, canvas, k), np.int8),
+        "vy": ((1, canvas, canvas, k), vdt),
         "iy": ((1, canvas, canvas, iw), np.uint8),
         "sy": ((1, canvas, canvas), np.uint8),
-        "vc": ((2, cv2, cv2, k), np.int8),
+        "vc": ((2, cv2, cv2, k), vdt),
         "ic": ((2, cv2, cv2, iw), np.uint8),
         "sc": ((2, cv2, cv2), np.uint8),
         "quant": ((3, 8, 8), np.int16),
         "labels": ((), np.int32),
         "weights": ((), np.float32),
     }
-    if fmt == "mask16":
+    if fmt in ("mask16", "mask16w"):
         fields["dy"] = ((1, canvas, canvas), np.int16)
         fields["dc"] = ((2, cv2, cv2), np.int16)
     if geom:
@@ -353,13 +357,17 @@ class DctCroppedLoader(_BaseLoader):
     def __init__(self, dataset: IndexDataset, batch_size: int, target: int = 28,
                  k: int = 16, mode: str = "train",
                  scale: tuple[float, float] = (0.05, 1.0),
-                 center_ratio: float | None = None, max_src: int = 64, **kw):
+                 center_ratio: float | None = None, max_src: int = 64,
+                 fmt: str = "mask16", **kw):
         super().__init__(dataset, batch_size, **kw)
         from rgbnomore_tpu.data.croppack import build_op_pack
 
         assert mode in ("train", "center", "full"), mode
+        assert fmt in ("mask16", "mask16w"), fmt
         self.target = target
         self.k = k
+        self.fmt = fmt
+        self.wide = fmt == "mask16w"
         self.mode = mode
         self.mode_int = {"train": codec.CROP_RANDOM, "center": codec.CROP_CENTER,
                          "full": codec.CROP_FULL}[mode]
@@ -367,7 +375,7 @@ class DctCroppedLoader(_BaseLoader):
         # reference val: ResizedCenterCrop_DCT(size+4, size) (datasets.py:364)
         self.center_ratio = center_ratio or target / (target + 4)
         self.pack = build_op_pack(target, max_src)
-        self.layout = packed_layout(target, k, "mask16")
+        self.layout = packed_layout(target, k, fmt)
         self._offsets = codec.crop_row_offsets(self.layout)
 
     def _decode_batch(self, pool: ThreadPoolExecutor, idx: np.ndarray,
@@ -392,7 +400,7 @@ class DctCroppedLoader(_BaseLoader):
             ncomp, yh, yw, ch, cw, *_box = codec.read_crop_resize_pack_row(
                 path, self.k, self.mode_int, uniforms[slot], self.pack,
                 buf[slot], self._offsets, label, 1.0,
-                scale=self.scale, ratio=self.center_ratio,
+                scale=self.scale, ratio=self.center_ratio, wide=self.wide,
             )
             _check_chroma_grid(path, ncomp, yh, yw, ch, cw)
             labels[slot] = label

@@ -723,6 +723,63 @@ void pack_block_topk_mask16_f32(const float* rows, long stride, int k,
   for (int j = n; j < k; ++j) values[j] = 0;
 }
 
+// Wide (int16-value) variant of pack_block_topk_mask16_f32: same wire layout
+// but AC values are stored as exact int16 (nearbyint of the f32 plane, scale
+// fixed at 1).  Dequantized-and-clamped coefficients are integers in
+// [-1024, 1016], so for identity crops this wire is BIT-EXACT; resized
+// planes round to the nearest integer (max error 0.5 in dequant units vs the
+// device-side dense path).  Costs K extra bytes/block over the int8 wire —
+// meant for the EVAL path, where the accuracy budget matters more than
+// bytes (the int8 wire's uint8 block scale reaches ~8 on high-energy blocks,
+// crushing small ACs; see KSWEEP.json).
+void pack_block_topk_mask16w_f32(const float* rows, long stride, int k,
+                                 int16_t* values, uint8_t* mask,
+                                 uint8_t* scale_out, int16_t* dc_out) {
+  float block[kDct2];
+  for (int u = 0; u < kDct; ++u)
+    std::memcpy(block + u * kDct, rows + u * stride, kDct * sizeof(float));
+  float dc = std::nearbyint(block[0]);
+  if (dc > 32767.f) dc = 32767.f;
+  if (dc < -32768.f) dc = -32768.f;
+  *dc_out = static_cast<int16_t>(dc);
+  *scale_out = 1;
+  float av[64];
+  av[0] = 0.f;
+  int nz = 0;
+#pragma omp simd reduction(+ : nz)
+  for (int i = 1; i < 64; ++i) {
+    const float a = std::fabs(block[i]);
+    av[i] = a;
+    nz += a != 0.f;
+  }
+  // top-K by f32 magnitude.  The common eval settings keep everything
+  // (k >= nonzero count); only otherwise pay for a selection.
+  float thresh = 0.f;
+  int quota = k;  // ties at the threshold that still fit
+  if (nz > k) {
+    float srt[63];
+    std::memcpy(srt, av + 1, sizeof(srt));
+    std::nth_element(srt, srt + (k - 1), srt + 63, std::greater<float>());
+    thresh = srt[k - 1];
+    int above = 0;
+    for (int i = 1; i < 64; ++i) above += av[i] > thresh;
+    quota = k - above;
+  }
+  int n = 0;
+  for (int i = 1; i < 64 && n < k; ++i) {
+    const float a = av[i];
+    if (a == 0.f || a < thresh) continue;
+    if (a == thresh && quota <= 0) continue;
+    if (a == thresh) --quota;
+    float v = std::nearbyint(block[i]);
+    if (v > 32767.f) v = 32767.f;
+    if (v < -32768.f) v = -32768.f;
+    values[n++] = static_cast<int16_t>(v);
+    mask[i >> 3] |= static_cast<uint8_t>(1u << (i & 7));
+  }
+  for (int j = n; j < k; ++j) values[j] = 0;
+}
+
 // ---------------------------------------------------------------------------
 // Host-side crop + resize + pack (the crop-before-pack transfer path).
 //
@@ -919,16 +976,24 @@ void apply_cols(const OpEntry& op, const float* tmp, long t8_rows, float* out,
   }
 }
 
-// Pack a resized (t*8, t*8) f32 plane into mask16 wire fields on a t x t grid.
+// Pack a resized (t*8, t*8) f32 plane into mask16 wire fields on a t x t
+// grid.  `wide` selects the int16-value wire (`values` is then int16 bytes).
 void pack_plane_mask16(const float* plane, int t, int k, int8_t* values,
-                       uint8_t* mask, uint8_t* scales, int16_t* dcs) {
+                       uint8_t* mask, uint8_t* scales, int16_t* dcs,
+                       bool wide = false) {
   const long T8 = static_cast<long>(t) * kDct;
   for (int r = 0; r < t; ++r) {
     for (int c = 0; c < t; ++c) {
       const size_t off = static_cast<size_t>(r) * t + c;
-      pack_block_topk_mask16_f32(
-          plane + static_cast<long>(r) * kDct * T8 + static_cast<long>(c) * kDct,
-          T8, k, values + off * k, mask + off * 8, scales + off, dcs + off);
+      const float* blk =
+          plane + static_cast<long>(r) * kDct * T8 + static_cast<long>(c) * kDct;
+      if (wide)
+        pack_block_topk_mask16w_f32(
+            blk, T8, k, reinterpret_cast<int16_t*>(values) + off * k,
+            mask + off * 8, scales + off, dcs + off);
+      else
+        pack_block_topk_mask16_f32(blk, T8, k, values + off * k, mask + off * 8,
+                                   scales + off, dcs + off);
     }
   }
 }
@@ -1166,9 +1231,11 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
                     double scale_hi, double ratio, const int32_t* evens,
                     int n_evens, const int32_t* spec, size_t n_spec,
                     const float* opdata, size_t n_opdata, const CropPackPtrs& o,
-                    CoeffInfo* info, long box[4], std::string* msg) {
+                    CoeffInfo* info, long box[4], std::string* msg,
+                    bool wide = false) {
   const size_t yblk = static_cast<size_t>(t_y) * t_y;
   const size_t cblk = 2 * static_cast<size_t>(t_c) * t_c;
+  const size_t vsz = wide ? 2 : 1;  // value bytes (int16 wide / int8)
 
   auto get_ops = [&](long src, OpEntry* oy, OpEntry* oc) {
     if (src < 1 || static_cast<size_t>(src) > n_spec) {
@@ -1204,11 +1271,11 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
   err.pub.error_exit = error_exit;
 
   bool ok = true;
-  std::memset(o.vy, 0, yblk * k);
+  std::memset(o.vy, 0, yblk * k * vsz);
   std::memset(o.my, 0, yblk * 8);
   std::memset(o.sy, 1, yblk);
   std::memset(o.dy, 0, yblk * sizeof(int16_t));
-  std::memset(o.vc, 0, cblk * k);
+  std::memset(o.vc, 0, cblk * k * vsz);
   std::memset(o.mc, 0, cblk * 8);
   std::memset(o.sc, 1, cblk);
   std::memset(o.dc, 0, cblk * sizeof(int16_t));  // neutral chroma (gray)
@@ -1276,7 +1343,7 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
         tp0 = prof_now();
         g_prof.extract_resize.fetch_add(tp0 - te0, std::memory_order_relaxed);
       }
-      pack_plane_mask16(plane, t_y, k, o.vy, o.my, o.sy, o.dy);
+      pack_plane_mask16(plane, t_y, k, o.vy, o.my, o.sy, o.dy, wide);
       if (prof)
         g_prof.pack.fetch_add(prof_now() - tp0, std::memory_order_relaxed);
 
@@ -1313,8 +1380,8 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
           }
           const size_t plane_n = static_cast<size_t>(t_c) * t_c;
           const size_t po = (comp - 1) * plane_n;
-          pack_plane_mask16(cplane, t_c, k, o.vc + po * k, o.mc + po * 8,
-                            o.sc + po, o.dc + po);
+          pack_plane_mask16(cplane, t_c, k, o.vc + po * k * vsz, o.mc + po * 8,
+                            o.sc + po, o.dc + po, wide);
           if (prof)
             g_prof.pack.fetch_add(prof_now() - cp0, std::memory_order_relaxed);
         }
@@ -1609,12 +1676,13 @@ bool rgb_crop_pack_core(const char* path, int k, int t, RgbCropMode mode,
 PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
   const char* path;
   int k, mode, t_y, t_c, max_src;
+  int wide = 0;
   double scale_lo, scale_hi, ratio;
   Py_buffer ub, eb, sb, db, vy, my, sy, dy, vc, mc, sc, dcc, qb;
-  if (!PyArg_ParseTuple(args, "siiiiiw*dddw*w*w*w*w*w*w*w*w*w*w*w*", &path, &k,
-                        &mode, &t_y, &t_c, &max_src, &ub, &scale_lo, &scale_hi,
-                        &ratio, &eb, &sb, &db, &vy, &my, &sy, &dy, &vc, &mc,
-                        &sc, &dcc, &qb))
+  if (!PyArg_ParseTuple(args, "siiiiiw*dddw*w*w*w*w*w*w*w*w*w*w*w*|i", &path,
+                        &k, &mode, &t_y, &t_c, &max_src, &ub, &scale_lo,
+                        &scale_hi, &ratio, &eb, &sb, &db, &vy, &my, &sy, &dy,
+                        &vc, &mc, &sc, &dcc, &qb, &wide))
     return nullptr;
 
   std::vector<Py_buffer*> bufs = {&ub, &eb, &sb, &db, &vy, &my, &sy,
@@ -1632,10 +1700,11 @@ PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
   if (ub.len < 12 * static_cast<Py_ssize_t>(sizeof(double)) || n_evens < 1 ||
       n_spec < static_cast<size_t>(max_src))
     return fail(PyExc_ValueError, "uniforms/evens/spec buffers too small");
-  if (static_cast<size_t>(vy.len) < yblk * k || static_cast<size_t>(my.len) < yblk * 8 ||
+  const size_t vsz = wide ? 2 : 1;
+  if (static_cast<size_t>(vy.len) < yblk * k * vsz || static_cast<size_t>(my.len) < yblk * 8 ||
       static_cast<size_t>(sy.len) < yblk ||
       static_cast<size_t>(dy.len) < yblk * sizeof(int16_t) ||
-      static_cast<size_t>(vc.len) < cblk * k || static_cast<size_t>(mc.len) < cblk * 8 ||
+      static_cast<size_t>(vc.len) < cblk * k * vsz || static_cast<size_t>(mc.len) < cblk * 8 ||
       static_cast<size_t>(sc.len) < cblk ||
       static_cast<size_t>(dcc.len) < cblk * sizeof(int16_t) ||
       static_cast<size_t>(qb.len) < 3 * kDct2 * sizeof(int16_t))
@@ -1656,7 +1725,7 @@ PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
                       ratio, static_cast<const int32_t*>(eb.buf), n_evens,
                       static_cast<const int32_t*>(sb.buf), n_spec,
                       static_cast<const float*>(db.buf), db.len / sizeof(float),
-                      o, &info, box, &msg);
+                      o, &info, box, &msg, wide != 0);
   Py_END_ALLOW_THREADS;
 
   for (auto* b : bufs) PyBuffer_Release(b);
@@ -1680,12 +1749,13 @@ PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
 PyObject* py_read_crop_resize_pack_row(PyObject*, PyObject* args) {
   const char* path;
   int k, mode, t_y, t_c, max_src;
+  int wide = 0;
   double scale_lo, scale_hi, ratio, weight;
   long label;
   Py_buffer ub, eb, sb, db, rb, ob;
-  if (!PyArg_ParseTuple(args, "siiiiiw*dddw*w*w*w*w*ld", &path, &k, &mode, &t_y,
-                        &t_c, &max_src, &ub, &scale_lo, &scale_hi, &ratio, &eb,
-                        &sb, &db, &rb, &ob, &label, &weight))
+  if (!PyArg_ParseTuple(args, "siiiiiw*dddw*w*w*w*w*ld|i", &path, &k, &mode,
+                        &t_y, &t_c, &max_src, &ub, &scale_lo, &scale_hi, &ratio,
+                        &eb, &sb, &db, &rb, &ob, &label, &weight, &wide))
     return nullptr;
 
   std::vector<Py_buffer*> bufs = {&ub, &eb, &sb, &db, &rb, &ob};
@@ -1704,9 +1774,11 @@ PyObject* py_read_crop_resize_pack_row(PyObject*, PyObject* args) {
       static_cast<size_t>(ob.len) < 11 * sizeof(int64_t))
     return fail(PyExc_ValueError, "uniforms/evens/spec/offsets too small");
   const int64_t* off = static_cast<const int64_t*>(ob.buf);
+  const size_t vsz = wide ? 2 : 1;
   // field extents (bytes) in offset order, for the bounds check
-  const size_t ext[11] = {yblk * k, yblk * 8, yblk, yblk * 2, cblk * k,
-                          cblk * 8, cblk, cblk * 2, 3 * kDct2 * 2, 4, 4};
+  const size_t ext[11] = {yblk * k * vsz, yblk * 8, yblk, yblk * 2,
+                          cblk * k * vsz, cblk * 8, cblk, cblk * 2,
+                          3 * kDct2 * 2, 4, 4};
   for (int i = 0; i < 11; ++i) {
     if (off[i] < 0 || static_cast<size_t>(off[i]) + ext[i] > static_cast<size_t>(rb.len))
       return fail(PyExc_ValueError, "row offsets out of bounds");
@@ -1727,7 +1799,7 @@ PyObject* py_read_crop_resize_pack_row(PyObject*, PyObject* args) {
                       ratio, static_cast<const int32_t*>(eb.buf), n_evens,
                       static_cast<const int32_t*>(sb.buf), n_spec,
                       static_cast<const float*>(db.buf), db.len / sizeof(float),
-                      o, &info, box, &msg);
+                      o, &info, box, &msg, wide != 0);
   if (ok) {
     int32_t lab = static_cast<int32_t>(label);
     float w = static_cast<float>(weight);

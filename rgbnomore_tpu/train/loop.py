@@ -77,12 +77,28 @@ def packed_defaults(domain: str) -> tuple[str, int]:
     return ("mask", 16) if domain == "DCT" else ("mask16", 63)
 
 
+def cropped_eval_defaults(domain: str) -> tuple[int, str]:
+    """(K, fmt) of the EVAL side of the crop-before-pack wire, shared by
+    Trainer and make_loaders.
+
+    Train tolerates a lossy wire (the gradient already carries augmentation
+    noise; RECIPE_PROXY.json trains fine at K=16), but eval top-1 must not
+    move: the K-sweep against the dense full-spectrum path (KSWEEP.json,
+    VERDICT round-2 item 1) measured top-1 agreement 81.5% at the train
+    default K=16 and 100.0% with zero logit drift at K=48, so eval ships
+    K=48.  ``mask16w`` (int16 ACs) is the corpus-independent exact option
+    when block energies exceed the int8 x uint8-scale range.
+    """
+    return (48, "mask16") if domain == "DCT" else (63, "mask16")
+
+
 class Trainer:
     """Owns mesh, model, state and the jitted step functions for one config."""
 
     def __init__(self, cfg: Config, devices=None, seed: int | None = None, canvas: int = 64,
                  transfer: str = "packed", packed_fmt: str | None = None,
-                 packed_k: int | None = None):
+                 packed_k: int | None = None, packed_k_eval: int | None = None,
+                 eval_fmt: str | None = None):
         self.cfg = update_runtime(cfg, len(devices or jax.devices()))
         self.mesh = make_mesh(devices)
         self.n_devices = len(self.mesh.devices.ravel())
@@ -104,6 +120,10 @@ class Trainer:
         self.packed_k = packed_k or (
             (16 if self.domain == "DCT" else 63) if transfer == "cropped" else d_k
         )
+        ek, ef = cropped_eval_defaults(self.domain)
+        self.packed_k_eval = packed_k_eval or (
+            ek if transfer == "cropped" and self.domain == "DCT" else self.packed_k)
+        self.eval_fmt = eval_fmt or ef
         packed_fmt = self.packed_fmt
         packed = transfer == "packed"
         if transfer == "cropped" and self.domain == "RGB":
@@ -124,7 +144,8 @@ class Trainer:
             )
 
             self.train_pipe = make_cropped_train_pipeline(cfg, k=self.packed_k)
-            self.eval_pipe = make_cropped_eval_pipeline(cfg, k=self.packed_k)
+            self.eval_pipe = make_cropped_eval_pipeline(
+                cfg, k=self.packed_k_eval, fmt=self.eval_fmt)
         elif self.domain == "DCT":
             self.train_pipe = make_train_pipeline(
                 cfg, canvas=canvas, packed=packed, packed_fmt=packed_fmt,
@@ -364,7 +385,8 @@ class Trainer:
 def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int = 64,
                  num_threads: int = 4, global_batch: int | None = None,
                  transfer: str = "packed", packed_fmt: str | None = None,
-                 packed_k: int | None = None):
+                 packed_k: int | None = None, packed_k_eval: int | None = None,
+                 eval_fmt: str | None = None):
     """Build train / minival / trainval / test loaders (``datasets.py:445-582``)."""
     train_all = load_index(index_train)
     test_ds = load_index(index_val)
@@ -394,8 +416,11 @@ def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int =
         # datasets.py:364) or whole-image resize (swin, datasets.py:381)
         eval_mode = "full" if cfg.model.arch == "swinv2" else "center"
         k = packed_k or 16
+        ek, ef = cropped_eval_defaults("DCT")
+        k_eval, fmt_eval = packed_k_eval or ek, eval_fmt or ef
         mk = lambda ds, shuffle, drop: DctCroppedLoader(
-            ds, bsz, target=cfg.model.dct_blocks, k=k,
+            ds, bsz, target=cfg.model.dct_blocks,
+            k=k if shuffle else k_eval, fmt="mask16" if shuffle else fmt_eval,
             mode="train" if shuffle else eval_mode, max_src=canvas,
             shuffle=shuffle, drop_last=drop, seed=cfg.seed,
             num_threads=num_threads, **shard_kw,
@@ -456,17 +481,21 @@ def train_and_eval(
     transfer: str = "packed",
     num_devices: int | None = None,
     packed_k: int | None = None,
+    packed_k_eval: int | None = None,
+    eval_fmt: str | None = None,
     ckpt_every: int = 1,
 ) -> dict:
     """Main train/eval flow (reference ``train.py:traineval``).  Returns final
     metrics."""
     devices = jax.devices()[:num_devices] if num_devices else None
     trainer = Trainer(cfg, devices=devices, canvas=canvas, transfer=transfer,
-                      packed_k=packed_k)
+                      packed_k=packed_k, packed_k_eval=packed_k_eval,
+                      eval_fmt=eval_fmt)
     loaders = make_loaders(
         cfg, index_train, index_val, canvas=canvas, num_threads=num_threads,
         global_batch=trainer.global_batch(), transfer=transfer,
         packed_fmt=trainer.packed_fmt, packed_k=trainer.packed_k,
+        packed_k_eval=trainer.packed_k_eval, eval_fmt=trainer.eval_fmt,
     )
     steps_per_epoch = len(loaders["train"])
     if max_steps_per_epoch:

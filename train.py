@@ -61,6 +61,16 @@ def parse_args():
                    help="Top-K AC coefficients kept per block on the packed/cropped "
                         "wire (0 = per-transfer default: 16 cropped/packed DCT, "
                         "63 RGB)")
+    p.add_argument("--packed_k_eval", type=int, default=0,
+                   help="Top-K on the EVAL side of the cropped DCT wire (0 = "
+                        "default 48: measured 100%% top-1 agreement with the "
+                        "dense full-spectrum path, KSWEEP.json)")
+    p.add_argument("--eval_fmt", type=str, default="",
+                   choices=("", "mask16", "mask16w"),
+                   help="Eval wire value format for the cropped DCT transfer: "
+                        "mask16 (int8 ACs, default) or mask16w (int16 ACs — "
+                        "exact for identity crops, for coefficient ranges "
+                        "beyond the int8 wire)")
     # multi-host (DCN) rendezvous — the reference's TCP/NCCL rendezvous
     # (pipeline_utils.py:78-88) equivalent; single-host runs leave it unset
     p.add_argument("--coordinator", type=str, default="",
@@ -180,6 +190,8 @@ def main():
             num_devices=None if args.num_devices < 0 else args.num_devices,
             transfer=transfer,
             packed_k=args.packed_k or None,
+            packed_k_eval=args.packed_k_eval or None,
+            eval_fmt=args.eval_fmt or None,
             ckpt_every=args.ckpt_every,
         )
 
