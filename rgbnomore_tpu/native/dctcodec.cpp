@@ -34,6 +34,17 @@
 
 #include <jpeglib.h>
 
+// AVX-512 fast path for the hot crop-wire packer (pack_block_topk_mask16_f32).
+// The build is -march=native with a host-CPU-keyed cache (native/build.py), so
+// compile-time dispatch is safe: the .so never runs on a CPU it wasn't built
+// for.  VBMI2 supplies byte compress (vpcompressb), BMI2 supplies PDEP for the
+// tie-quota mask.
+#if defined(__AVX512F__) && defined(__AVX512BW__) && \
+    defined(__AVX512VBMI2__) && defined(__BMI2__)
+#include <immintrin.h>
+#define DCTCODEC_AVX512_PACK 1
+#endif
+
 namespace {
 
 constexpr int kDct = DCTSIZE;       // 8
@@ -667,9 +678,122 @@ void pack_block_topk_mask16(const int16_t* block, int k, int8_t* values,
 // position order.  ``rows``/``stride``: block row u lives at
 // ``rows + u*stride`` in the resized plane; the 8 rows are gathered into one
 // contiguous local first (measured faster than strided passes).
+void pack_block_topk_mask16_f32_scalar(const float* rows, long stride, int k,
+                                       int8_t* values, uint8_t* mask,
+                                       uint8_t* scale_out, int16_t* dc_out);
+
+#ifdef DCTCODEC_AVX512_PACK
+// Vectorized packer: one block is exactly one zmm of bytes, so the whole
+// select runs on compare-mask popcounts with no histogram and no per-element
+// branches.  Bit i of the occupancy mask is zigzag position i, i.e. the
+// 64-bit keep mask IS the 8-byte wire mask (little-endian), and
+// vpcompressb emits the kept values already in ascending position order —
+// the same wire invariants the scalar path below maintains.
 void pack_block_topk_mask16_f32(const float* rows, long stride, int k,
                                 int8_t* values, uint8_t* mask,
                                 uint8_t* scale_out, int16_t* dc_out) {
+  // Gather the 8 strided rows straight into 4 zmm (2 rows each).
+  auto load2 = [&](int u) {
+    return _mm512_insertf32x8(
+        _mm512_castps256_ps512(_mm256_loadu_ps(rows + u * stride)),
+        _mm256_loadu_ps(rows + (u + 1) * stride), 1);
+  };
+  const __m512 f0 = load2(0), f1 = load2(2), f2 = load2(4), f3 = load2(6);
+
+  float dc = std::nearbyint(rows[0]);
+  if (dc > 32767.f) dc = 32767.f;
+  if (dc < -32768.f) dc = -32768.f;
+  *dc_out = static_cast<int16_t>(dc);
+
+  // |AC| with the DC lane zeroed; max-reduce for the scale.
+  const __m512 absm = _mm512_castsi512_ps(_mm512_set1_epi32(0x7fffffff));
+  __m512 a0 = _mm512_maskz_and_ps(0xfffe, f0, absm);
+  const __m512 a1 = _mm512_and_ps(f1, absm), a2 = _mm512_and_ps(f2, absm),
+               a3 = _mm512_and_ps(f3, absm);
+  const float maxabs = _mm512_reduce_max_ps(
+      _mm512_max_ps(_mm512_max_ps(a0, a1), _mm512_max_ps(a2, a3)));
+  int scale = static_cast<int>(std::ceil(maxabs / 127.f));
+  if (scale < 1) scale = 1;
+  if (scale > 255) scale = 255;
+  *scale_out = static_cast<uint8_t>(scale);
+
+  // Quantize: trunc(a*inv+0.5) == the scalar round-half-up, clamp to 127,
+  // then narrow the 4 i32 vectors into ONE zmm of 64 uint8 magnitudes.
+  const __m512 inv = _mm512_set1_ps(1.0f / static_cast<float>(scale));
+  const __m512 half = _mm512_set1_ps(0.5f);
+  const __m512i c127 = _mm512_set1_epi32(127);
+  auto quant = [&](__m512 a) {
+    return _mm512_min_epi32(
+        _mm512_cvttps_epi32(_mm512_fmadd_ps(a, inv, half)), c127);
+  };
+  __m512i qb = _mm512_castsi128_si512(_mm512_cvtepi32_epi8(quant(a0)));
+  qb = _mm512_inserti32x4(qb, _mm512_cvtepi32_epi8(quant(a1)), 1);
+  qb = _mm512_inserti32x4(qb, _mm512_cvtepi32_epi8(quant(a2)), 2);
+  qb = _mm512_inserti32x4(qb, _mm512_cvtepi32_epi8(quant(a3)), 3);
+
+  // Signed wire bytes: negate where the source float was < 0 (strict, so
+  // -0.0f stays positive exactly like the scalar `block[i] < 0.f`).
+  const __m512 fz = _mm512_setzero_ps();
+  const uint64_t neg =
+      static_cast<uint64_t>(_mm512_cmp_ps_mask(f0, fz, _CMP_LT_OQ)) |
+      (static_cast<uint64_t>(_mm512_cmp_ps_mask(f1, fz, _CMP_LT_OQ)) << 16) |
+      (static_cast<uint64_t>(_mm512_cmp_ps_mask(f2, fz, _CMP_LT_OQ)) << 32) |
+      (static_cast<uint64_t>(_mm512_cmp_ps_mask(f3, fz, _CMP_LT_OQ)) << 48);
+  const __m512i sv =
+      _mm512_mask_sub_epi8(qb, static_cast<__mmask64>(neg),
+                           _mm512_setzero_si512(), qb);
+
+  // Cut level == the scalar counting-select's: the largest L in [1,127] with
+  // count(q >= L) > k (0 when even L=1 keeps <= k).  7-probe binary search
+  // over compare-mask popcounts replaces the 128-bucket histogram walk.
+  int lo = 1, hi = 127, level = 0;
+  while (lo <= hi) {
+    const int mid = (lo + hi) >> 1;
+    const __mmask64 ge = _mm512_cmp_epu8_mask(
+        qb, _mm512_set1_epi8(static_cast<char>(mid)), _MM_CMPINT_NLT);
+    if (__builtin_popcountll(static_cast<uint64_t>(ge)) > k) {
+      level = mid;
+      lo = mid + 1;
+    } else {
+      hi = mid - 1;
+    }
+  }
+  uint64_t keep;
+  if (level == 0) {  // <= k nonzero magnitudes: keep them all
+    keep = static_cast<uint64_t>(
+        _mm512_cmp_epu8_mask(qb, _mm512_setzero_si512(), _MM_CMPINT_NE));
+  } else {
+    const uint64_t gt = static_cast<uint64_t>(_mm512_cmp_epu8_mask(
+        qb, _mm512_set1_epi8(static_cast<char>(level)), _MM_CMPINT_NLE));
+    const uint64_t eq = static_cast<uint64_t>(_mm512_cmp_epu8_mask(
+        qb, _mm512_set1_epi8(static_cast<char>(level)), _MM_CMPINT_EQ));
+    const int quota = k - __builtin_popcountll(gt);  // ties that still fit
+    // PDEP deposits the low `quota` set bits -> lowest positions win ties,
+    // exactly the scalar's ascending-position-order quota.
+    keep = gt | _pdep_u64((quota >= 64 ? ~0ull : (1ull << quota) - 1), eq);
+  }
+  std::memcpy(mask, &keep, 8);  // bit i of the u64 IS wire bit i (LE)
+  // vpcompressb packs kept bytes to the front in position order and zeroes
+  // the tail — the K-slot wire layout in one instruction.
+  const __m512i comp =
+      _mm512_maskz_compress_epi8(static_cast<__mmask64>(keep), sv);
+  _mm512_mask_storeu_epi8(values, (k >= 64 ? ~0ull : (1ull << k) - 1), comp);
+}
+#else   // non-AVX512 hosts: the scalar path IS the packer
+void pack_block_topk_mask16_f32(const float* rows, long stride, int k,
+                                int8_t* values, uint8_t* mask,
+                                uint8_t* scale_out, int16_t* dc_out) {
+  pack_block_topk_mask16_f32_scalar(rows, stride, k, values, mask, scale_out,
+                                    dc_out);
+}
+#endif  // DCTCODEC_AVX512_PACK
+
+// Scalar packer, always compiled: the non-AVX512 production path, and the
+// bit-exactness oracle the AVX-512 path is tested against (pack_debug
+// binding / tests/test_ksweep.py).
+void pack_block_topk_mask16_f32_scalar(const float* rows, long stride, int k,
+                                       int8_t* values, uint8_t* mask,
+                                       uint8_t* scale_out, int16_t* dc_out) {
   float block[kDct2];
   for (int u = 0; u < kDct; ++u)
     std::memcpy(block + u * kDct, rows + u * stride, kDct * sizeof(float));
@@ -2205,7 +2329,38 @@ PyObject* py_crop_profile(PyObject*, PyObject* args) {
                        "extract_resize_ns", ext, "pack_ns", pak, "n", n);
 }
 
+PyObject* py_pack_debug(PyObject*, PyObject* args) {
+  // pack_debug(block_f32_64, k, use_scalar) -> (values bytes(k), mask
+  // bytes(8), scale, dc).  Test hook: runs ONE block through the mask16
+  // packer — the dispatched (AVX-512 where built) path or the scalar
+  // oracle — so tests/test_ksweep.py can pin the two bit-identical.
+  Py_buffer blk;
+  int k, use_scalar;
+  if (!PyArg_ParseTuple(args, "w*ii", &blk, &k, &use_scalar)) return nullptr;
+  if (blk.len != 64 * static_cast<Py_ssize_t>(sizeof(float)) || k < 1 || k > 63) {
+    PyBuffer_Release(&blk);
+    PyErr_SetString(PyExc_ValueError, "need 64 f32 and 1 <= k <= 63");
+    return nullptr;
+  }
+  std::vector<int8_t> values(k, 0);
+  uint8_t mask[8] = {0};
+  uint8_t scale = 0;
+  int16_t dc = 0;
+  const float* rows = static_cast<const float*>(blk.buf);
+  if (use_scalar)
+    pack_block_topk_mask16_f32_scalar(rows, 8, k, values.data(), mask, &scale, &dc);
+  else
+    pack_block_topk_mask16_f32(rows, 8, k, values.data(), mask, &scale, &dc);
+  PyBuffer_Release(&blk);
+  return Py_BuildValue("y#y#ii", reinterpret_cast<char*>(values.data()),
+                       static_cast<Py_ssize_t>(k), reinterpret_cast<char*>(mask),
+                       static_cast<Py_ssize_t>(8), static_cast<int>(scale),
+                       static_cast<int>(dc));
+}
+
 PyMethodDef methods[] = {
+    {"pack_debug", py_pack_debug, METH_VARARGS,
+     "One-block mask16 pack through the dispatched or scalar path (test hook)."},
     {"crop_profile", py_crop_profile, METH_VARARGS,
      "Enable/disable the crop-path stage profiler; returns+resets counters."},
     {"read_coefficients", py_read_coefficients, METH_VARARGS,

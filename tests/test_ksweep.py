@@ -191,3 +191,30 @@ def test_eval_k48_logits_agree_with_dense(tmp_path):
     wire = logits_via("cropped")  # eval side defaults to K=48
     assert np.array_equal(dense.argmax(-1), wire.argmax(-1))
     assert np.abs(dense - wire).max() <= 2e-3
+
+
+def test_avx_pack_matches_scalar_oracle():
+    """The dispatched mask16 packer (AVX-512 on this host) must be
+    BIT-IDENTICAL to the always-compiled scalar oracle: same kept set under
+    ties (ascending position order quota), same int8 quantization
+    (round-half-up, truncating cast), same mask bytes and zero tail."""
+    import numpy as np
+
+    from rgbnomore_tpu.native import _dctcodec as dc
+
+    rng = np.random.default_rng(7)
+    for trial in range(2000):
+        kind = trial % 5
+        if kind == 0:
+            blk = rng.normal(0, 100, 64).astype(np.float32)
+        elif kind == 1:  # heavy ties: small integer magnitudes
+            blk = rng.integers(-3, 4, 64).astype(np.float32)
+        elif kind == 2:  # sparse
+            blk = np.zeros(64, np.float32)
+            blk[rng.choice(64, 8, replace=False)] = rng.normal(0, 500, 8)
+        elif kind == 3:  # full dequant range incl the +-1024 clamp region
+            blk = rng.uniform(-1024, 1016, 64).astype(np.float32)
+        else:  # ternary (max tie pressure), with signed zeros
+            blk = (rng.integers(0, 2, 64) * rng.choice([-1.0, 1.0], 64)).astype(np.float32)
+        k = (4, 16, 32, 48, 63)[trial % 5]
+        assert dc.pack_debug(blk, k, 0) == dc.pack_debug(blk, k, 1), (kind, k)
