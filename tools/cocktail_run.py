@@ -72,6 +72,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="override lr; default = preset lr scaled linearly to "
+                         "--batch (the preset 3e-3 pairs with BATCHSIZE=1024, "
+                         "configs.py:24 — running batch 128 at the unscaled "
+                         "3e-3 is 8x the recipe's per-example lr, and the "
+                         "first 10k-step attempt showed mixup never escapes "
+                         "the uniform-logit floor there)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="override warmup steps (default: preset fraction)")
+    ap.add_argument("--tag", default="dct-cocktail-10k",
+                    help="RECIPE_PROXY.json row name")
+    ap.add_argument("--workdir", default="/tmp/cocktail_run")
     args = ap.parse_args()
 
     import jax
@@ -95,9 +107,12 @@ def main() -> None:
     # preset warmup is 10k ABSOLUTE steps (configs.py:41) == this whole run;
     # use the preset's warmup FRACTION of the horizon instead (10k/375k ~
     # 2.7% -> ~270 steps), exactly how the round-2 proxy scaled it
-    cfg.train.warmup = max(270, args.steps * 27 // 1000)
+    cfg.train.warmup = args.warmup or max(270, args.steps * 27 // 1000)
+    # linear batch scaling of the preset lr (reference: lr 3e-3 at global
+    # batch 1024, configs.py:24,41) unless explicitly overridden
+    cfg.train.lr = args.lr or cfg.train.lr * args.batch / 1024
 
-    workdir = Path("/tmp/cocktail_run")
+    workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     res = train_and_eval(
         cfg, str(train_idx), str(val_idx), savepath=str(workdir / "model.msgpack"),
@@ -118,7 +133,7 @@ def main() -> None:
                 f"1.1k-step reference point 0.425",
     }
     results = json.loads(OUT.read_text()) if OUT.exists() else {}
-    results["dct-cocktail-10k"] = row
+    results[args.tag] = row
     OUT.write_text(json.dumps(results, indent=1))
     print(json.dumps(row))
     assert row["test_acc"] >= 0.25, f"cocktail below 5x chance: {row}"

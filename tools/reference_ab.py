@@ -246,30 +246,43 @@ def run_jax() -> dict:
 
 
 def main() -> None:
+    global STEPS, WARMUP
     ap = argparse.ArgumentParser()
     ap.add_argument("--side", required=True, choices=("torch", "jax", "report"))
+    ap.add_argument("--steps", type=int, default=0,
+                    help="override the 600-step horizon")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="override the 100-step warmup")
+    ap.add_argument("--tag", default="",
+                    help="record under '<side>_<tag>' (a second A/B point, "
+                         "e.g. the learning-regime warmup-300 run)")
     args = ap.parse_args()
+    if args.steps:
+        STEPS = args.steps
+    if args.warmup:
+        WARMUP = args.warmup
+    suffix = f"_{args.tag}" if args.tag else ""
     results = json.loads(OUT.read_text()) if OUT.exists() else {}
     if args.side == "torch":
-        results["torch"] = run_torch()
+        results["torch" + suffix] = run_torch()
     elif args.side == "jax":
-        results["jax"] = run_jax()
+        results["jax" + suffix] = run_jax()
     else:
-        t, j = results["torch"], results["jax"]
+        t, j = results["torch" + suffix], results["jax" + suffix]
         diff = abs(t["val_acc"] - j["val_acc"])
         print(f"torch val_acc {t['val_acc']} vs jax {j['val_acc']} "
               f"(diff {diff:.4f}); train loss {t['final_train_loss_mean50']} "
               f"vs {j['final_train_loss_mean50']}")
-        results["verdict"] = {
+        results["verdict" + suffix] = {
             "val_acc_diff": round(diff, 4),
             "within_noise": diff <= 0.05,
         }
     hype = {"classes": CLASSES, "depth": DEPTH, "batch": BATCH, "steps": STEPS,
             "lr": LR, "wd": WD, "warmup": WARMUP, "num_ops": NUM_OPS,
             "magnitude": MAGNITUDE, "mixup": False}
-    results["recipe"] = hype
+    results["recipe" + suffix] = hype
     OUT.write_text(json.dumps(results, indent=1))
-    print(json.dumps({k: v for k, v in results.get(args.side, {}).items()
+    print(json.dumps({k: v for k, v in results.get(args.side + suffix, {}).items()
                       if k != "losses_every10"}))
 
 
