@@ -118,11 +118,19 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(bw, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (bw, n, h, d)
 
-        # cosine attention in f32 (normalization is precision-sensitive)
-        q = q.astype(jnp.float32)
-        k = k.astype(jnp.float32)
-        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
-        k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
+        # Cosine attention: the normalization runs in f32 (precision-
+        # sensitive: rsqrt of a 32-term sum of squares), but the NORMALIZED
+        # q/k — bounded to [-1, 1], maximally well-conditioned for a
+        # low-precision dot — are cast back to the module dtype so the QK^T
+        # einsum rides the bf16 MXU path under AMP, exactly the reference's
+        # torch.autocast split (normalize f32, attention matmul fp16).
+        # Measured on the batch-64 bf16 step: 148.0 -> 140.3 ms
+        # (SWIN_PROFILE.json `bf16_matmul`); the f32->f32 eval path is
+        # unchanged, pinned by tests/test_swin_import.py at <=5e-4.
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        q = (qf / (jnp.linalg.norm(qf, axis=-1, keepdims=True) + 1e-12)).astype(self.dtype)
+        k = (kf / (jnp.linalg.norm(kf, axis=-1, keepdims=True) + 1e-12)).astype(self.dtype)
         scale = jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))
 
         # continuous relative position bias
@@ -157,13 +165,13 @@ class WindowAttention(nn.Module):
             bias2 = jnp.full((npat, self.num_heads, 2 * n, 2 * n), -1e9, jnp.float32)
             bias2 = bias2.at[:, :, :n, :n].set(pairs[:, 0])
             bias2 = bias2.at[:, :, n:, n:].set(pairs[:, 1])
-            qs = jnp.transpose(q, (0, 2, 1, 3)) * scale[None]  # scale folded in
-            ks = jnp.transpose(k, (0, 2, 1, 3))
+            qs = jnp.transpose(q.astype(jnp.float32), (0, 2, 1, 3)) * scale[None]
+            ks = jnp.transpose(k.astype(jnp.float32), (0, 2, 1, 3))
             vs = jnp.transpose(v.astype(jnp.float32), (0, 2, 1, 3))
             out = fused_window_attention(qs, ks, vs, bias2)
             out = jnp.transpose(out, (0, 2, 1, 3)).astype(self.dtype)
         else:
-            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
             attn = attn * scale
             attn = attn + bias_hnn[None]
             if mask is not None:

@@ -96,6 +96,123 @@ def op_stats_from_trace(logdir: str, top: int = 15) -> list[dict]:
         return [{"raw": str(rows)[:2000]}]
 
 
+def time_fwd(cfg, batch: int, iters: int, model=None) -> float:
+    """ms per FORWARD pass (train=False) on synthetic inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from rgbnomore_tpu.train.config import build_model
+
+    rng = np.random.default_rng(0)
+    nb = cfg.model.dct_blocks
+    inputs = (
+        jnp.asarray(rng.standard_normal((batch, 1, nb, nb, 8, 8)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((batch, 2, nb // 2, nb // 2, 8, 8)).astype(np.float32)),
+    )
+    model = model or build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), *inputs)["params"]
+    fwd = jax.jit(lambda p, a, b: model.apply({"params": p}, a, b, train=False))
+    out = fwd(params, *inputs)
+    _ = np.asarray(out[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, *inputs)
+    _ = np.asarray(out[0, 0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def build_step_with_model(cfg, batch: int, model):
+    """build_step but with an externally-constructed (variant) model."""
+    import jax
+    import jax.numpy as jnp
+
+    from rgbnomore_tpu.train.optim import make_optimizer
+    from rgbnomore_tpu.train.steps import create_train_state, make_train_step
+
+    rng = np.random.default_rng(0)
+    nb = cfg.model.dct_blocks
+    inputs = (
+        jnp.asarray(rng.standard_normal((batch, 1, nb, nb, 8, 8)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((batch, 2, nb // 2, nb // 2, 8, 8)).astype(np.float32)),
+    )
+    labels = jnp.asarray(rng.integers(0, cfg.model.classes, batch).astype(np.int32))
+    tx, _ = make_optimizer(cfg.train.lr, cfg.train.wd, 100, 1000)
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0), inputs)
+    step = make_train_step(model, cfg.model.classes, use_mixup=False)
+    return state, step, (inputs, labels), jax.random.PRNGKey(1)
+
+
+def swin_variant(cfg, **overrides):
+    """The production swin model with constructor-field overrides."""
+    from rgbnomore_tpu.train.config import build_model
+
+    base = build_model(cfg)
+    return base.copy(**overrides)
+
+
+def attention_variant(mode: str):
+    """A WindowAttention subclass implementing one measured hypothesis, bound
+    into the model via the module tree (SwinBlock instantiates the class the
+    swinv2 module namespace holds, so rebinding it swaps every layer)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from rgbnomore_tpu.models import swinv2 as sw
+
+    class Variant(sw.WindowAttention):
+        @nn.compact
+        def __call__(self, x, mask, deterministic: bool = True):
+            bw, n, c = x.shape
+            head_dim = self.dim // self.num_heads
+            logit_scale = self.param(
+                "logit_scale", lambda key, shape: jnp.log(10.0 * jnp.ones(shape)),
+                (self.num_heads, 1, 1))
+            qkv_kernel = self.param("qkv_kernel", sw.trunc_init, (c, 3 * self.dim))
+            qkv = x @ qkv_kernel.astype(self.dtype)
+            if self.qkv_bias:
+                q_bias = self.param("q_bias", nn.initializers.zeros, (self.dim,))
+                v_bias = self.param("v_bias", nn.initializers.zeros, (self.dim,))
+                qkv = qkv + jnp.concatenate(
+                    [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(self.dtype)
+            qkv = qkv.reshape(bw, n, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if mode != "no_cosine":
+                q = q.astype(jnp.float32)
+                k = k.astype(jnp.float32)
+                q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+                k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12)
+            scale = jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))
+            if mode in ("bf16_matmul", "no_cosine"):
+                q = q.astype(self.dtype)
+                k = k.astype(self.dtype)
+            if mode == "no_cpb":
+                bias_hnn = jnp.zeros((self.num_heads, n, n), jnp.float32)
+            else:
+                table = jnp.asarray(sw._relative_coords_table(
+                    self.window_size, self.pretrained_window_size))
+                cpb = nn.Dense(512, name="cpb_mlp1")(table)
+                cpb = nn.relu(cpb)
+                cpb = nn.Dense(self.num_heads, use_bias=False, name="cpb_mlp2")(cpb)
+                cpb = cpb.reshape(-1, self.num_heads)
+                idx = sw._relative_position_index(self.window_size).reshape(-1)
+                bias_tbl = cpb[idx].reshape(n, n, self.num_heads)
+                bias_hnn = (16.0 * jax.nn.sigmoid(bias_tbl)).transpose(2, 0, 1)
+            nw = 1 if mask is None else mask.shape[0]
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            attn = attn * scale + bias_hnn[None]
+            if mask is not None:
+                attn = attn.reshape(bw // nw, nw, self.num_heads, n, n) + jnp.asarray(mask)[None, :, None]
+                attn = attn.reshape(bw, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+            out = out.reshape(bw, n, self.dim)
+            return nn.Dense(self.dim, kernel_init=sw.trunc_init, dtype=self.dtype,
+                            name="proj")(out)
+
+    return Variant
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50)
@@ -103,6 +220,10 @@ def main() -> None:
     ap.add_argument("--platform", default="")
     ap.add_argument("--trace-iters", type=int, default=5)
     ap.add_argument("--skip-trace", action="store_true")
+    ap.add_argument("--variants", action="store_true",
+                    help="time the structural A/B variants (fwd-only, "
+                         "no-droppath, bf16 attention matmuls, no-CPB, "
+                         "no-cosine) instead of the xplane trace")
     args = ap.parse_args()
 
     import jax
@@ -127,8 +248,37 @@ def main() -> None:
     print(f"baseline_bf16: {ms:.2f} ms/step "
           f"({args.batch / ms * 1e3:.1f} img/s)", flush=True)
 
+    # --- structural A/B variants -------------------------------------------
+    if args.variants:
+        from rgbnomore_tpu.models import swinv2 as sw
+        from rgbnomore_tpu.train.config import build_model
+
+        # forward-only split
+        ms_f = time_fwd(cfg, args.batch, args.iters)
+        results["variants"]["fwd_only"] = round(ms_f, 2)
+        print(f"fwd_only: {ms_f:.2f} ms", flush=True)
+
+        # stochastic depth off (24 bernoulli/where pairs at rate 0.2)
+        m = swin_variant(cfg, drop_path_rate=0.0)
+        st, stp, bt, bs = build_step_with_model(cfg, args.batch, m)
+        ms_v = time_step(st, stp, bt, bs, args.iters)
+        results["variants"]["no_droppath"] = round(ms_v, 2)
+        print(f"no_droppath: {ms_v:.2f} ms", flush=True)
+
+        orig = sw.WindowAttention
+        for mode in ("bf16_matmul", "no_cpb", "no_cosine"):
+            sw.WindowAttention = attention_variant(mode)
+            try:
+                m = build_model(cfg)
+                st, stp, bt, bs = build_step_with_model(cfg, args.batch, m)
+                ms_v = time_step(st, stp, bt, bs, args.iters)
+            finally:
+                sw.WindowAttention = orig
+            results["variants"][mode] = round(ms_v, 2)
+            print(f"{mode}: {ms_v:.2f} ms", flush=True)
+
     # --- trace the baseline ------------------------------------------------
-    if not args.skip_trace:
+    if not args.skip_trace and not args.variants:
         logdir = "/tmp/swin_trace"
         jax.profiler.start_trace(logdir)
         st, metrics = state, None
