@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Device-step breakdown for the headline config (ViT-Ti DCT, cropped wire).
+
+bench.py reports the device step as ONE number (~2950 img/s at batch 256).
+This tool splits it into its stages to locate kernel-optimization targets
+(round-2 weakness #4: the Pallas surface must contain a kernel that WINS):
+
+  unpack     split_packed_batch + unpack_fields + to_range (wire -> dense)
+  flip       per-sample horizontal flip (blocks.flip_dct + select)
+  aug        RandAugmentDCT (vmapped lax.switch over the preset op list)
+  pipeline   the full train input pipeline (unpack+flip+aug+to_range)
+  mixup      mixup_batch on pipeline outputs
+  fwd        model.apply, train=True
+  fwd_bwd    value_and_grad of the softmax CE loss
+  step_rest  fwd_bwd + optimizer update on FIXED inputs (no pipeline)
+  full_step  the production fused step (pipeline+mixup+fwd+bwd+update)
+
+All inputs are device-resident before timing; the only sync is
+block_until_ready on device outputs (no host readbacks — the tunnel
+serializes transfers with execution).  Run on the real TPU:
+
+  PYTHONPATH=. python tools/profile_device_step.py [--batch 256] [--iters 30]
+
+Writes STEP_PROFILE.json and prints one human-readable table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+OUT = Path(__file__).resolve().parents[1] / "STEP_PROFILE.json"
+
+
+def timeit(fn, args, iters: int, warmup: int = 3) -> float:
+    """Median-of-3-windows seconds per call; fn returns device arrays."""
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    windows = []
+    per = max(1, iters // 3)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        windows.append((time.perf_counter() - t0) / per)
+    windows.sort()
+    return windows[1]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--num-images", type=int, default=0,
+                    help="corpus size (default: one batch)")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+
+    from bench import make_synthetic_dataset
+    from rgbnomore_tpu.augment.pipeline import (
+        make_cropped_train_pipeline,
+        split_packed_batch,
+        to_range,
+        unpack_fields,
+    )
+    from rgbnomore_tpu.data.index import load_index
+    from rgbnomore_tpu.data.loader import DctCroppedLoader
+    from rgbnomore_tpu.train.config import example_inputs, generate_config
+    from rgbnomore_tpu.train.loop import Trainer
+    from rgbnomore_tpu.train.steps import mixup_batch, softmax_cross_entropy
+
+    batch_size = args.batch
+    index = make_synthetic_dataset(
+        Path("/tmp/rgbnomore_bench"), args.num_images or batch_size
+    )
+    cfg = generate_config("vitti", "dct", modelver=1, batchsize=batch_size)
+    trainer = Trainer(cfg, transfer="cropped")
+    ds = load_index(index)
+    loader = DctCroppedLoader(
+        ds, batch_size, target=cfg.model.dct_blocks, k=trainer.packed_k,
+        mode="train", shuffle=True, drop_last=False, seed=0, num_threads=2,
+    )
+    batch = trainer.put_batch(next(iter(loader)))
+    packed = batch["packed"]
+    target, k, fmt = cfg.model.dct_blocks, trainer.packed_k, "mask16"
+
+    rng = jax.random.PRNGKey(0)
+    results: dict[str, float] = {}
+
+    # ---- pipeline stages --------------------------------------------------
+    @jax.jit
+    def f_unpack(buf):
+        f = split_packed_batch(buf, target, k, fmt)
+        y, c = unpack_fields(f, fmt)
+        return to_range(y), to_range(c)
+
+    from rgbnomore_tpu.augment.pipeline import random_flip
+    from rgbnomore_tpu.augment.randaugment import RandAugmentDCT
+
+    aug = RandAugmentDCT(
+        ops_list=list(cfg.train.auglist), num_ops=cfg.train.num_ops,
+        magnitude=cfg.train.augstr, grid=target,
+    )
+    y0, c0 = f_unpack(packed)
+    jax.block_until_ready((y0, c0))
+
+    f_flip = jax.jit(lambda r, y, c: random_flip(r, y, c))
+    f_aug = jax.jit(lambda r, y, c: aug(r, y, c))
+    pipe = jax.jit(make_cropped_train_pipeline(cfg, k=k, fmt=fmt))
+
+    results["unpack"] = timeit(f_unpack, (packed,), args.iters)
+    results["flip"] = timeit(f_flip, (rng, y0, c0), args.iters)
+    results["aug"] = timeit(f_aug, (rng, y0, c0), args.iters)
+    results["pipeline"] = timeit(pipe, (rng, packed), args.iters)
+
+    # ---- model stages ------------------------------------------------------
+    yp, cp, labels, _ = pipe(rng, packed)
+    jax.block_until_ready((yp, cp))
+    params = trainer.model.init(jax.random.PRNGKey(1), *example_inputs(cfg, 2))[
+        "params"
+    ]
+    params = jax.device_put(params, trainer._rs)
+    num_classes = cfg.model.classes
+
+    f_mixup = jax.jit(
+        lambda r, y, c, l: mixup_batch(r, (y, c), l, num_classes,
+                                       cfg.train.mixup_alpha)
+    )
+    results["mixup"] = timeit(f_mixup, (rng, yp, cp, labels), args.iters)
+
+    drop = jax.random.PRNGKey(2)
+    f_fwd = jax.jit(
+        lambda p, y, c: trainer.model.apply(
+            {"params": p}, y, c, train=True, rngs={"dropout": drop}
+        )
+    )
+    results["fwd"] = timeit(f_fwd, (params, yp, cp), args.iters)
+
+    targets = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+
+    def loss_fn(p, y, c, t):
+        logits = trainer.model.apply(
+            {"params": p}, y, c, train=True, rngs={"dropout": drop}
+        )
+        return softmax_cross_entropy(logits, t)
+
+    f_fwd_bwd = jax.jit(jax.value_and_grad(loss_fn))
+    results["fwd_bwd"] = timeit(f_fwd_bwd, (params, yp, cp, targets), args.iters)
+
+    # ---- full fused step (donation-safe: rebuild state each window is too
+    # slow; reuse bench.py's loop shape instead: state threads through) ------
+    from rgbnomore_tpu.train.optim import make_optimizer
+    from rgbnomore_tpu.train.steps import TrainState
+
+    tx, trainer.schedule = make_optimizer(
+        cfg.train.lr, cfg.train.wd, cfg.train.warmup, 10_000
+    )
+    trainer.state = jax.device_put(
+        TrainState.create(apply_fn=trainer.model.apply, params=params, tx=tx),
+        trainer._rs,
+    )
+    step = trainer._fused_train_step()
+    for _ in range(3):
+        trainer.state, m = step(trainer.state, batch, rng)
+    jax.block_until_ready(trainer.state.params)
+    windows = []
+    per = max(1, args.iters // 3)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            trainer.state, m = step(trainer.state, batch, rng)
+        jax.block_until_ready(trainer.state.params)
+        windows.append((time.perf_counter() - t0) / per)
+    windows.sort()
+    results["full_step"] = windows[1]
+
+    ms = {k: round(v * 1e3, 3) for k, v in results.items()}
+    fps = {k: round(batch_size / v, 1) for k, v in results.items()}
+    payload = {
+        "batch": batch_size, "k": k, "fmt": fmt, "target": target,
+        "backend": jax.default_backend(), "ms_per_call": ms, "imgs_per_sec": fps,
+        "derived": {
+            "step_minus_fwd_bwd_ms": round((results["full_step"] - results["fwd_bwd"]) * 1e3, 3),
+            "pipeline_share_pct": round(100 * results["pipeline"] / results["full_step"], 1),
+            "aug_share_pct": round(100 * results["aug"] / results["full_step"], 1),
+            "unpack_share_pct": round(100 * results["unpack"] / results["full_step"], 1),
+        },
+    }
+    OUT.write_text(json.dumps(payload, indent=1))
+    width = max(len(s) for s in ms)
+    for name in ("unpack", "flip", "aug", "pipeline", "mixup", "fwd",
+                 "fwd_bwd", "full_step"):
+        print(f"{name:<{width}}  {ms[name]:>9.3f} ms  {fps[name]:>8.1f} img/s")
+    print(json.dumps(payload["derived"]))
+
+
+if __name__ == "__main__":
+    main()
