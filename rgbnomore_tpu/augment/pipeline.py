@@ -324,6 +324,8 @@ def make_cropped_train_pipeline(
     out_dtype=jnp.float32,
     k: int = 16,
     fmt: str = "mask16",
+    fused: bool | None = False,
+    fused_interpret: bool = False,
 ) -> Callable:
     """Train pipeline for the crop-before-pack wire (``DctCroppedLoader``).
 
@@ -331,15 +333,48 @@ def make_cropped_train_pipeline(
     (``codec.read_crop_resize_pack``), so the device path is just
     unpack -> flip -> RandAugment -> ToRange — no dequant, no crop matmuls.
     ``fn(rng, packed_buf) -> (y, cbcr, labels, weights)``.
+
+    ``fused`` selects the single-pass Pallas flip+RandAugment+ToRange kernel
+    (``ops/pallas/augpipe.py``); ``None`` auto-enables it on TPU when every
+    op in the list is kernel-supported.  Both paths consume the SAME
+    ``draw_policy`` randomness, so they apply identical augmentations.
     """
     if cfg is not None:
         target = cfg.model.dct_blocks
         auglist = list(cfg.train.auglist)
         num_ops = cfg.train.num_ops
         magnitude = cfg.train.augstr
+    ops_list = list(auglist or [])
     aug = RandAugmentDCT(
-        ops_list=list(auglist or []), num_ops=num_ops, magnitude=magnitude, grid=target
+        ops_list=ops_list, num_ops=num_ops, magnitude=magnitude, grid=target
     )
+    if fused is None:
+        from rgbnomore_tpu.ops.pallas.augpipe import SUPPORTED_OPS
+
+        fused = (
+            jax.default_backend() == "tpu"
+            and bool(ops_list)
+            and num_ops > 0
+            and set(ops_list) <= SUPPORTED_OPS
+        )
+
+    if fused:
+        from rgbnomore_tpu.ops.pallas.augpipe import fused_flip_aug_range
+
+        def pipeline(rng, packed_buf):
+            k_flip, k_aug = jax.random.split(rng)
+            f = split_packed_batch(packed_buf, target, k, fmt)
+            y, c = unpack_fields(f, fmt)
+            flip = jax.random.bernoulli(k_flip, 0.5, (y.shape[0],))
+            policy = aug.draw_policy(k_aug, y.shape[0], y.shape[2], y.shape[3])
+            y, c = fused_flip_aug_range(
+                y, c, policy, flip, ops_list=ops_list, num_ops=num_ops,
+                magnitude=magnitude, out_dtype=out_dtype,
+                interpret=fused_interpret,
+            )
+            return y, c, f["labels"], f["weights"]
+
+        return pipeline
 
     def pipeline(rng, packed_buf):
         k_flip, k_aug = jax.random.split(rng)

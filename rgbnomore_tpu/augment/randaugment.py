@@ -67,13 +67,18 @@ def _clamp_pair(y, c):
 
 
 def _make_op(name: str, mag: float, signed: bool, pad: float) -> Callable:
-    """Single-sample op ``(y, c, rng, sign) -> (y, c)``.
+    """Single-sample op ``(y, c, draws) -> (y, c)``.
 
-    ``y``: (1, H, W, 8, 8), ``c``: (2, H/2, W/2, 8, 8), float32.  Semantics
-    follow ``_apply_op_dct`` (``custom_transforms.py:944-1021``).
+    ``y``: (1, H, W, 8, 8), ``c``: (2, H/2, W/2, 8, 8), float32.  ``draws``
+    carries the pre-drawn per-round randomness ``(sign, cut_ch, cut_cw,
+    drop_cb)`` (see :meth:`RandAugmentDCT.draw_policy`) so op bodies are
+    RNG-free — the same branches run under the XLA ``lax.switch`` path and
+    inside the fused Pallas pipeline kernel.  Semantics follow
+    ``_apply_op_dct`` (``custom_transforms.py:944-1021``).
     """
 
-    def op(y, c, rng, sign):
+    def op(y, c, draws):
+        sign, cut_ch, cut_cw, drop_cb = draws
         m = mag * sign if signed else mag
         if name == "Identity":
             return y, c
@@ -135,12 +140,8 @@ def _make_op(name: str, mag: float, signed: bool, pad: float) -> Callable:
         if name == "Cutout":
             size = int(round(mag))
             size -= size % 2
-            h, w = y.shape[1], y.shape[2]
-            kh, kw = jax.random.split(rng)
-            ch = jax.random.randint(kh, (), 0, h) // 2 * 2
-            cw = jax.random.randint(kw, (), 0, w) // 2 * 2
-            y2 = ph.cutout_dct(y, size, ch, cw)
-            c2 = ph.cutout_dct(c, size // 2, ch // 2, cw // 2)
+            y2 = ph.cutout_dct(y, size, cut_ch, cut_cw)
+            c2 = ph.cutout_dct(c, size // 2, cut_ch // 2, cut_cw // 2)
             return _clamp_pair(y2, c2)
         if name == "SolarizeAdd":
             y2, _ = ph.solarize_add_dct(y, int(mag), threshold=0.0)
@@ -158,7 +159,6 @@ def _make_op(name: str, mag: float, signed: bool, pad: float) -> Callable:
         if name == "FreqEnhance":
             return _clamp_pair(ph.freq_enhance_dct(y, 1.0 + m), ph.freq_enhance_dct(c, 1.0 + m))
         if name == "ChromaDrop":
-            drop_cb = jax.random.bernoulli(rng)
             keep = jnp.where(
                 drop_cb, jnp.asarray([0.0, 1.0]), jnp.asarray([1.0, 0.0])
             ).reshape(2, 1, 1, 1, 1)
@@ -200,44 +200,69 @@ class RandAugmentDCT:
         self._is_chroma = np.asarray([o in CHROMA_OPS for o in self.ops_list])
         self._is_gray = np.asarray([o == "Grayscale" for o in self.ops_list])
 
+    def _per_sample_policy(self, rng: jax.Array, h: int, w: int):
+        """Draw one sample's rounds: ``(idx, sign, cut_ch, cut_cw, drop_cb)``,
+        each ``(num_ops,)``.  Key consumption is identical to the pre-refactor
+        in-branch draws (same splits, same calls — under the batched switch
+        every branch consumed the same ``k_inner``), so seeded outputs are
+        unchanged.  The grayscale/chroma exclusion rule lives here."""
+        n = len(self.ops_list)
+        signed = self._signed
+        is_chroma = jnp.asarray(self._is_chroma)
+        is_gray = jnp.asarray(self._is_gray)
+
+        def round_body(carry, _):
+            allowed, rng = carry
+            rng, k_op, k_sign, k_inner = jax.random.split(rng, 4)
+            # if exclusions emptied the list (all-chroma lists), reopen it
+            allowed = jnp.where(allowed.any(), allowed, jnp.ones_like(allowed))
+            logits = jnp.where(allowed, 0.0, -jnp.inf)
+            idx = jax.random.categorical(k_op, logits)
+            sign = jnp.where(
+                jax.random.bernoulli(k_sign) & (signed[idx] > 0), -1.0, 1.0
+            )
+            kh, kw = jax.random.split(k_inner)
+            cut_ch = jax.random.randint(kh, (), 0, h) // 2 * 2
+            cut_cw = jax.random.randint(kw, (), 0, w) // 2 * 2
+            drop_cb = jax.random.bernoulli(k_inner)
+            # exclusion rule: grayscale disables chroma ops and vice versa
+            chose_gray = is_gray[idx]
+            chose_chroma = is_chroma[idx] & ~chose_gray
+            allowed = jnp.where(chose_gray, allowed & ~is_chroma, allowed)
+            allowed = jnp.where(chose_chroma, allowed & ~is_gray, allowed)
+            return (allowed, rng), (idx, sign, cut_ch, cut_cw, drop_cb)
+
+        allowed = jnp.ones((n,), bool)
+        _, outs = jax.lax.scan(round_body, (allowed, rng), None, length=self.num_ops)
+        return outs
+
+    def draw_policy(self, rng: jax.Array, batch: int, h: int, w: int):
+        """Batch policy draws: ``(idx, sign, cut_ch, cut_cw, drop_cb)``, each
+        ``(batch, num_ops)``.  Shared by the XLA switch path and the fused
+        Pallas pipeline kernel so both apply bit-identical decisions."""
+        keys = jax.random.split(rng, batch)
+        return jax.vmap(lambda k: self._per_sample_policy(k, h, w))(keys)
+
     def __call__(self, rng: jax.Array, y: jax.Array, cbcr: jax.Array):
         """Apply to a batch: y (B, 1, H, W, 8, 8), cbcr (B, 2, H/2, W/2, 8, 8)."""
         if not self.ops_list:
             return y, cbcr
-        n = len(self.ops_list)
-        is_chroma = jnp.asarray(self._is_chroma)
-        is_gray = jnp.asarray(self._is_gray)
         ops = self._ops
-        signed = self._signed
+        policy = self.draw_policy(rng, y.shape[0], y.shape[2], y.shape[3])
 
-        def per_sample(rng, y1, c1):
+        def per_sample(y1, c1, idx, sign, cut_ch, cut_cw, drop_cb):
             y1 = ph.clamp_dct(y1)
             c1 = ph.clamp_dct(c1)
 
             # scan over rounds so the op branches are traced/compiled once
-            def round_body(carry, _):
-                y1, c1, allowed, rng = carry
-                rng, k_op, k_sign, k_inner = jax.random.split(rng, 4)
-                # if exclusions emptied the list (all-chroma lists), reopen it
-                allowed = jnp.where(allowed.any(), allowed, jnp.ones_like(allowed))
-                logits = jnp.where(allowed, 0.0, -jnp.inf)
-                idx = jax.random.categorical(k_op, logits)
-                sign = jnp.where(
-                    jax.random.bernoulli(k_sign) & (signed[idx] > 0), -1.0, 1.0
-                )
-                y1, c1 = jax.lax.switch(idx, ops, y1, c1, k_inner, sign)
-                # exclusion rule: grayscale disables chroma ops and vice versa
-                chose_gray = is_gray[idx]
-                chose_chroma = is_chroma[idx] & ~chose_gray
-                allowed = jnp.where(chose_gray, allowed & ~is_chroma, allowed)
-                allowed = jnp.where(chose_chroma, allowed & ~is_gray, allowed)
-                return (y1, c1, allowed, rng), None
+            def round_body(carry, xs):
+                y1, c1 = carry
+                y1, c1 = jax.lax.switch(xs[0], ops, y1, c1, xs[1:])
+                return (y1, c1), None
 
-            allowed = jnp.ones((n,), bool)
-            (y1, c1, _, _), _ = jax.lax.scan(
-                round_body, (y1, c1, allowed, rng), None, length=self.num_ops
+            (y1, c1), _ = jax.lax.scan(
+                round_body, (y1, c1), (idx, sign, cut_ch, cut_cw, drop_cb)
             )
             return y1, c1
 
-        keys = jax.random.split(rng, y.shape[0])
-        return jax.vmap(per_sample)(keys, y, cbcr)
+        return jax.vmap(per_sample)(y, cbcr, *policy)
