@@ -5,7 +5,8 @@ The production cropped-wire train pipeline
 flip -> RandAugment -> ToRange as XLA ops.  Its hot part is the batched
 ``lax.switch`` RandAugment policy: under ``vmap`` XLA evaluates EVERY branch
 over the full batch each round and selects per sample — with the 14-op ViT
-preset and ``num_ops=2`` that is ~28 full-tensor passes over HBM to keep 2.
+preset and ``num_ops=2`` that is ~28 full-tensor passes over HBM to keep 2
+(measured 9.3 ms of an 89.9 ms ViT-Ti step at batch 256, STEP_PROFILE.json).
 
 This kernel re-designs that TPU-first: one grid step per sample, the whole
 sample resident in VMEM, and ``lax.switch`` on a prefetched SMEM scalar so
@@ -13,15 +14,22 @@ each sample executes ONLY its drawn branch.  Flip and the final ToRange fuse
 into the same single HBM read/write.
 
 Layout: the caller reshapes ``(B, C, H, W, 8, 8)`` coefficients to
-``(B, C, H, W, 64)`` so the 64 frequencies sit on VPU *lanes* and the W block
-column on sublanes — every preset op is then a lane-masked elementwise /
-reduction op, a static sublane shift, or (Rotate90) a grid transpose plus an
-exact 64x64 permutation matmul.  Randomness is drawn OUTSIDE by
-``RandAugmentDCT.draw_policy`` (the same function the XLA path consumes), so
-both paths apply bit-identical decisions.
+``(B, C, H*W, 64)`` — the 64 frequencies sit on VPU *lanes*, the flattened
+block grid on sublanes.  Every preset op is then one of
+  - a lane-masked elementwise / reduction op (photometric DC ops),
+  - a static sublane shift + iota mask (TranslateX/Y, Cutout),
+  - an exact permutation matmul on the MXU (flip, Rotate90): grid movement is
+    a row permutation of the (H*W, 64) matrix and the intra-block transpose a
+    64x64 lane permutation; both matrices are built IN-KERNEL from iota
+    comparisons (0/1 exact, ``precision=HIGHEST``), so Mosaic never sees a
+    ``rev``/transpose primitive and no VMEM is spent on constant operands.
+
+Randomness is drawn OUTSIDE by ``RandAugmentDCT.draw_policy`` (the same
+function the XLA path consumes), so both paths apply bit-identical
+augmentation decisions.
 
 Reference semantics: ``utils/custom_transforms.py:944-1127`` via
-``augment.randaugment._make_op`` — every branch here mirrors one of those op
+``augment.randaugment._make_op`` — every branch mirrors one of those op
 bodies on the lane layout (op math cited in ``ops/photometric.py``).
 """
 
@@ -59,6 +67,108 @@ def _dc_mask(x):
     return lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) == 0
 
 
+def _hw_iota(x, w: int):
+    """(h, w) block-grid coordinates of each row of the (C, H*W, 64) layout."""
+    r = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return r // w, r % w
+
+
+def _sign_col(x):
+    """(-1)^j for lane f=(i,j): horizontal-flip sign (``dct_ops.py:601-621``)."""
+    f = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where((f % 8) % 2 == 1, -1.0, 1.0)
+
+
+def _sign_row(x):
+    """(-1)^i for lane f=(i,j): vertical-flip sign."""
+    f = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where((f // 8) % 2 == 1, -1.0, 1.0)
+
+
+def _perm_matmul(x, src_of_row):
+    """Exact row permutation of the (C, N, 64) value as an MXU matmul.
+
+    ``out[c, r, f] = x[c, src_of_row(r), f]`` with the 0/1 permutation matrix
+    generated from iota comparisons (no constant operand, no ``rev``).
+    """
+    n = x.shape[1]
+    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)  # output row r
+    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)  # input row
+    q = (cols == src_of_row(rows)).astype(jnp.float32)
+    return jnp.einsum("rs,csf->crf", q, x, precision=lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
+def _freq_transpose(x):
+    """Per-block 8x8 transpose as an exact 64x64 lane-permutation matmul."""
+    f = lax.broadcasted_iota(jnp.int32, (64, 64), 0)  # input lane
+    g = lax.broadcasted_iota(jnp.int32, (64, 64), 1)  # output lane
+    p = (g == (f % 8) * 8 + f // 8).astype(jnp.float32)
+    return jnp.einsum("csf,fg->csg", x, p, precision=lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
+def _flip_h(x, w: int):
+    """Horizontal flip: reverse the W grid columns + negate odd freq columns
+    (``ops/blocks.py flip_dct``; reference ``utils/dct_ops.py:601-621``)."""
+    flipped = _perm_matmul(x, lambda r: (r // w) * w + (w - 1 - r % w))
+    return flipped * _sign_col(x)
+
+
+def _rot90(x, w: int, k: int):
+    """Exact 90-degree rotation (``ops/blocks.py rotate_dct_90deg``;
+    reference ``utils/dct_ops.py:99-130``).  Grids here are square (H == W).
+
+    k=+1 (ccw): grid out[h,w] = in[w, W-1-h]; block transpose; odd-row signs.
+    k=-1 (cw):  grid out[h,w] = in[H-1-w, h]; block transpose; odd-col signs.
+    """
+    if k == 1:
+        g = _perm_matmul(x, lambda r: (r % w) * w + (w - 1 - r // w))
+        return _freq_transpose(g) * _sign_row(x)
+    g = _perm_matmul(x, lambda r: (w - 1 - r % w) * w + r // w)
+    return _freq_transpose(g) * _sign_col(x)
+
+
+def _shift_rows(x, t: int):
+    """Static shift along the flattened-grid axis with zero fill."""
+    if t == 0:
+        return x
+    n = x.shape[1]
+    pad = [(0, 0)] * x.ndim
+    pad[1] = (t, 0) if t > 0 else (0, -t)
+    lo = 0 if t > 0 else -t
+    return lax.slice_in_dim(jnp.pad(x, pad), lo, lo + n, axis=1)
+
+
+def _translate(x, t: int, w: int, direction: str):
+    """Translate by ``t`` blocks along H or W, zero-filling the gap
+    (``ops/photometric.py translate_dct`` with a static magnitude).
+
+    On the flattened grid a W shift is a row shift by ``t`` plus masking the
+    columns that wrapped across grid rows; an H shift is a row shift by
+    ``t*w`` (whole grid rows move, zero fill is exact)."""
+    if t == 0:
+        return x
+    if direction == "H":
+        return _shift_rows(x, t * w)
+    out = _shift_rows(x, t)
+    _, wi = _hw_iota(x, w)
+    keep = wi >= t if t > 0 else wi < w + t
+    return jnp.where(keep, out, 0.0)
+
+
+def _autocontrast_lane(x):
+    """Rescale DCs so min -> DCT_MIN, max -> DCT_MAX, joint over channels
+    (``ops/photometric.py autocontrast_dct``)."""
+    m = _dc_mask(x)
+    dc_min = jnp.min(jnp.where(m, x, jnp.inf))
+    dc_max = jnp.max(jnp.where(m, x, -jnp.inf))
+    denom = jnp.where(dc_max == dc_min, 1.0, dc_max - dc_min)
+    rescaled = DCT_MIN + (x - dc_min) / denom * (DCT_MAX - DCT_MIN)
+    new_dc = jnp.where(dc_max == dc_min, x, rescaled)
+    return jnp.where(m, new_dc, x)
+
+
 def _midfreq_filters(mag: float) -> np.ndarray:
     """(2, 64) filters for sign +1 / -1, pre-composed with the block shift.
 
@@ -88,70 +198,11 @@ def _sharp_filters(mag: float) -> np.ndarray:
     return out
 
 
-def _freq_transpose_matrix() -> np.ndarray:
-    """Exact (64, 64) permutation: lane f=(i,j) -> lane (j,i)."""
-    p = np.zeros((64, 64), np.float32)
-    for i in range(8):
-        for j in range(8):
-            p[i * 8 + j, j * 8 + i] = 1.0
-    return p
-
-
-_SIGN_ODD_COL = np.tile(np.where(np.arange(8) % 2 == 1, -1.0, 1.0), 8).astype(np.float32)
-_SIGN_ODD_ROW = np.repeat(np.where(np.arange(8) % 2 == 1, -1.0, 1.0), 8).astype(np.float32)
-
-
-def _flip_h(x, sign_col):
-    """Horizontal flip on the lane layout: reverse W + negate odd freq columns
-    (``ops/blocks.py flip_dct``; reference ``utils/dct_ops.py:601-621``)."""
-    return jnp.flip(x, axis=2) * sign_col
-
-
-def _shift_zero(x, t: int, axis: int):
-    """Static translate by ``t`` along ``axis`` with zero fill
-    (``ops/photometric.py translate_dct`` with a static magnitude)."""
-    if t == 0:
-        return x
-    n = x.shape[axis]
-    pad = [(0, 0)] * x.ndim
-    if t > 0:
-        pad[axis] = (t, 0)
-        lo = 0
-    else:
-        pad[axis] = (0, -t)
-        lo = -t
-    return lax.slice_in_dim(jnp.pad(x, pad), lo, lo + n, axis=axis)
-
-
-def _freq_transpose(x, p):
-    """Per-block 8x8 transpose as an exact permutation matmul on lanes."""
-    return jnp.einsum("chwf,fg->chwg", x, p, precision=lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)
-
-
-def _rot90_grid(x, k: int):
-    """Rotate the (H, W) block grid; x is (C, H, W, 64)."""
-    return jnp.rot90(x, k=k, axes=(1, 2))
-
-
-def _autocontrast_lane(x):
-    """Rescale DCs so min -> DCT_MIN, max -> DCT_MAX, joint over channels
-    (``ops/photometric.py autocontrast_dct``)."""
-    m = _dc_mask(x)
-    dc_min = jnp.min(jnp.where(m, x, jnp.inf))
-    dc_max = jnp.max(jnp.where(m, x, -jnp.inf))
-    denom = jnp.where(dc_max == dc_min, 1.0, dc_max - dc_min)
-    rescaled = DCT_MIN + (x - dc_min) / denom * (DCT_MAX - DCT_MIN)
-    new_dc = jnp.where(dc_max == dc_min, x, rescaled)
-    return jnp.where(m, new_dc, x)
-
-
 def _make_branches(ops_list, magnitude, num_bins, grid_h, grid_w):
-    """Branch fns ``(y, c, sign, ch, cw, drop, tab) -> (y, c)`` on the
-    (C, H, W, 64) lane layout (mirroring ``randaugment._make_op``), plus the
+    """Branch fns ``(y, c, sign, ch, cw, drop, filts) -> (y, c)`` on the
+    (C, H*W, 64) lane layout (mirroring ``randaugment._make_op``), plus the
     (n_ops, 2, 64) per-op filter table (rows: sign +1 / -1; ones when the op
-    has no filter).  ``tab`` is the tuple of const operands the kernel loads
-    once: ``(sign_col, sign_row, p_transpose, filts)``."""
+    has no filter) passed through as a broadcast operand."""
     table = _magnitude_table(num_bins, grid_h, grid_w)
     branches = []
     filts = np.ones((len(ops_list), 2, 64), np.float32)
@@ -162,22 +213,22 @@ def _make_branches(ops_list, magnitude, num_bins, grid_h, grid_w):
             filts[i] = _sharp_filters(mag)
         elif name == "MidfreqAug":
             filts[i] = _midfreq_filters(mag)
-        branches.append(_make_branch(name, mag, i))
+        branches.append(_make_branch(name, mag, i, grid_w))
     return branches, filts
 
 
-def _make_branch(name: str, mag: float, op_i: int) -> Callable:
+def _make_branch(name: str, mag: float, op_i: int, w: int) -> Callable:
     def clamp_pair(y, c):
         return _clip(y), _clip(c)
 
     if name == "Identity":
-        return lambda y, c, s, ch, cw, d, tab: (y, c)
+        return lambda y, c, s, ch, cw, d, ft: (y, c)
 
     if name == "AutoContrast":
-        return lambda y, c, s, ch, cw, d, tab: clamp_pair(_autocontrast_lane(y), c)
+        return lambda y, c, s, ch, cw, d, ft: clamp_pair(_autocontrast_lane(y), c)
 
     if name == "AutoSaturation":
-        return lambda y, c, s, ch, cw, d, tab: clamp_pair(y, _autocontrast_lane(c))
+        return lambda y, c, s, ch, cw, d, ft: clamp_pair(y, _autocontrast_lane(c))
 
     if name == "Posterize":
 
@@ -188,7 +239,7 @@ def _make_branch(name: str, mag: float, op_i: int) -> Callable:
             out = DCT_MIN + idx * (DCT_MAX - DCT_MIN) / max(n, 1.0)
             return jnp.where(_dc_mask(x), out, x)
 
-        return lambda y, c, s, ch, cw, d, tab: clamp_pair(posterize(y), posterize(c))
+        return lambda y, c, s, ch, cw, d, ft: clamp_pair(posterize(y), posterize(c))
 
     if name == "SolarizeAdd":
         add = int(mag)
@@ -197,42 +248,38 @@ def _make_branch(name: str, mag: float, op_i: int) -> Callable:
             m = _dc_mask(x) & (x < 0.0)
             return _clip(jnp.where(m, x + add, x))
 
-        return lambda y, c, s, ch, cw, d, tab: clamp_pair(solarize_add(y), c)
+        return lambda y, c, s, ch, cw, d, ft: clamp_pair(solarize_add(y), c)
 
     if name == "Color":
 
-        def op(y, c, s, ch, cw, d, tab):
+        def op(y, c, s, ch, cw, d, ft):
             f = 1.0 + mag * s
-            c2 = jnp.where(_dc_mask(c), c * f, c)
-            return clamp_pair(y, c2)
+            return clamp_pair(y, jnp.where(_dc_mask(c), c * f, c))
 
         return op
 
     if name == "Contrast":
 
-        def op(y, c, s, ch, cw, d, tab):
+        def op(y, c, s, ch, cw, d, ft):
             f = 1.0 + mag * s
-            y2 = jnp.where(_dc_mask(y), y * f, y)
-            return clamp_pair(y2, c)
+            return clamp_pair(jnp.where(_dc_mask(y), y * f, y), c)
 
         return op
 
     if name == "Brightness":
 
-        def op(y, c, s, ch, cw, d, tab):
+        def op(y, c, s, ch, cw, d, ft):
             m = _dc_mask(y)
-            n_dc = y.shape[0] * y.shape[1] * y.shape[2]
+            n_dc = y.shape[0] * y.shape[1]
             mean_abs = jnp.sum(jnp.where(m, jnp.abs(y), 0.0)) / n_dc
-            y2 = jnp.where(m, y + mean_abs * (mag * s), y)
-            return clamp_pair(y2, c)
+            return clamp_pair(jnp.where(m, y + mean_abs * (mag * s), y), c)
 
         return op
 
     if name in ("Sharpness", "MidfreqAug"):
 
-        def op(y, c, s, ch, cw, d, tab):
-            filts = tab[3]
-            f = jnp.where(s > 0, filts[op_i, 0], filts[op_i, 1])
+        def op(y, c, s, ch, cw, d, ft):
+            f = jnp.where(s > 0, ft[op_i, 0], ft[op_i, 1])
             return clamp_pair(_clip(y * f), c)
 
         return op
@@ -241,31 +288,30 @@ def _make_branch(name: str, mag: float, op_i: int) -> Callable:
         size = int(round(mag))
         size -= size % 2
 
-        def hole(x, pad, hh, ww):
-            rows = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-            cols = lax.broadcasted_iota(jnp.int32, x.shape, 2)
-            m = (rows >= hh - pad) & (rows < hh + pad) & \
-                (cols >= ww - pad) & (cols < ww + pad)
+        def hole(x, pad, grid_w, hh, ww):
+            hi, wi = _hw_iota(x, grid_w)
+            m = (hi >= hh - pad) & (hi < hh + pad) & \
+                (wi >= ww - pad) & (wi < ww + pad)
             return jnp.where(m, 0.0, x)
 
-        def op(y, c, s, ch, cw, d, tab):
-            return clamp_pair(hole(y, size, ch, cw),
-                              hole(c, size // 2, ch // 2, cw // 2))
+        def op(y, c, s, ch, cw, d, ft):
+            return clamp_pair(hole(y, size, w, ch, cw),
+                              hole(c, size // 2, w // 2, ch // 2, cw // 2))
 
         return op
 
     if name in ("TranslateX", "TranslateY"):
-        axis = 2 if name == "TranslateX" else 1
+        direction = "W" if name == "TranslateX" else "H"
         # sign applied before float-mod evenization (custom_transforms.py:958)
         t_pos = int(mag - (mag % 2))
         t_neg = int(-mag - ((-mag) % 2))
         if t_pos == 0 and t_neg == 0:
-            return lambda y, c, s, ch, cw, d, tab: (y, c)
+            return lambda y, c, s, ch, cw, d, ft: (y, c)
 
-        def op(y, c, s, ch, cw, d, tab):
+        def op(y, c, s, ch, cw, d, ft):
             def go(t):
-                return clamp_pair(_shift_zero(y, t, axis),
-                                  _shift_zero(c, t // 2, axis))
+                return clamp_pair(_translate(y, t, w, direction),
+                                  _translate(c, t // 2, w // 2, direction))
 
             return lax.cond(s > 0, lambda: go(t_pos), lambda: go(t_neg))
 
@@ -273,26 +319,20 @@ def _make_branch(name: str, mag: float, op_i: int) -> Callable:
 
     if name == "Rotate90":
 
-        def op(y, c, s, ch, cw, d, tab):
-            sign_col, sign_row, p, _ = tab
-
-            def rot(x, k):
-                g = _freq_transpose(_rot90_grid(x, k), p)
-                return g * (sign_row if k == 1 else sign_col)
-
+        def op(y, c, s, ch, cw, d, ft):
             def go(k):
-                return clamp_pair(rot(y, k), rot(c, k))
+                return clamp_pair(_rot90(y, w, k), _rot90(c, w // 2, k))
 
             return lax.cond(s > 0, lambda: go(1), lambda: go(-1))
 
         return op
 
     if name == "Grayscale":
-        return lambda y, c, s, ch, cw, d, tab: clamp_pair(y, c * 0.0)
+        return lambda y, c, s, ch, cw, d, ft: clamp_pair(y, c * 0.0)
 
     if name == "ChromaDrop":
 
-        def op(y, c, s, ch, cw, d, tab):
+        def op(y, c, s, ch, cw, d, ft):
             keep = jnp.where(d > 0, 1, 0)
             ch_idx = lax.broadcasted_iota(jnp.int32, c.shape, 0)
             return clamp_pair(y, jnp.where(ch_idx == keep, c, 0.0))
@@ -302,21 +342,19 @@ def _make_branch(name: str, mag: float, op_i: int) -> Callable:
     raise ValueError(f"Pallas aug kernel does not support op: {name}")
 
 
-def _kernel(branches, num_ops: int, val_scale: float, val_shift: float,
+def _kernel(branches, num_ops: int, grid_w: int, val_scale: float,
+            val_shift: float,
             idx_ref, sign_ref, ch_ref, cw_ref, drop_ref, flip_ref,
-            y_ref, c_ref, signs_ref, p_ref, filts_ref,
-            yo_ref, co_ref):
+            y_ref, c_ref, filts_ref, yo_ref, co_ref):
     b = pl.program_id(0)
-    y = y_ref[0].astype(jnp.float32)  # (1, H, W, 64)
-    c = c_ref[0].astype(jnp.float32)  # (2, Hc, Wc, 64)
-    sign_col = signs_ref[0]
-    sign_row = signs_ref[1]
-    tab = (sign_col, sign_row, p_ref[...], filts_ref[...])
+    y = y_ref[0]  # (1, H*W, 64)
+    c = c_ref[0]  # (2, (H/2)*(W/2), 64)
+    filts = filts_ref[...]
 
     # per-sample horizontal flip (pipeline order: flip BEFORE the policy)
     y, c = lax.cond(
         flip_ref[b] > 0,
-        lambda: (_flip_h(y, sign_col), _flip_h(c, sign_col)),
+        lambda: (_flip_h(y, grid_w), _flip_h(c, grid_w // 2)),
         lambda: (y, c),
     )
     # the policy clamps on entry (randaugment.RandAugmentDCT.__call__)
@@ -324,7 +362,7 @@ def _kernel(branches, num_ops: int, val_scale: float, val_shift: float,
     for r in range(num_ops):
         y, c = lax.switch(
             idx_ref[b, r], branches, y, c,
-            sign_ref[b, r], ch_ref[b, r], cw_ref[b, r], drop_ref[b, r], tab,
+            sign_ref[b, r], ch_ref[b, r], cw_ref[b, r], drop_ref[b, r], filts,
         )
     # ToRange(-1, 1) from [-1024, 1016] (custom_transforms.py:406-466)
     yo_ref[0] = (y * val_scale + val_shift).astype(yo_ref.dtype)
@@ -348,37 +386,34 @@ def fused_flip_aug_range(
     hc, wc = c.shape[2], c.shape[3]
     idx, sign, cut_ch, cut_cw, drop = policy
     branches, filts = _make_branches(ops_list, magnitude, num_bins, h, w)
-    signs = np.stack([_SIGN_ODD_COL, _SIGN_ODD_ROW])
 
-    y64 = y.reshape(b_sz, 1, h, w, 64)
-    c64 = c.reshape(b_sz, 2, hc, wc, 64)
+    yf = y.reshape(b_sz, 1, h * w, 64)
+    cf = c.reshape(b_sz, 2, hc * wc, 64)
     val_scale = 2.0 / (DCT_MAX - DCT_MIN)
     val_shift = -1.0 - DCT_MIN * val_scale
 
-    kernel = functools.partial(_kernel, branches, num_ops, val_scale, val_shift)
-    spec_y = pl.BlockSpec((1, 1, h, w, 64), lambda b, *_: (b, 0, 0, 0, 0))
-    spec_c = pl.BlockSpec((1, 2, hc, wc, 64), lambda b, *_: (b, 0, 0, 0, 0))
-    spec_signs = pl.BlockSpec((2, 64), lambda b, *_: (0, 0))
-    spec_p = pl.BlockSpec((64, 64), lambda b, *_: (0, 0))
+    kernel = functools.partial(_kernel, branches, num_ops, w, val_scale,
+                               val_shift)
+    spec_y = pl.BlockSpec((1, 1, h * w, 64), lambda b, *_: (b, 0, 0, 0))
+    spec_c = pl.BlockSpec((1, 2, hc * wc, 64), lambda b, *_: (b, 0, 0, 0))
     spec_filts = pl.BlockSpec(filts.shape, lambda b, *_: (0, 0, 0))
     yo, co = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(b_sz,),
-            in_specs=[spec_y, spec_c, spec_signs, spec_p, spec_filts],
+            in_specs=[spec_y, spec_c, spec_filts],
             out_specs=[spec_y, spec_c],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct(y64.shape, out_dtype),
-            jax.ShapeDtypeStruct(c64.shape, out_dtype),
+            jax.ShapeDtypeStruct(yf.shape, out_dtype),
+            jax.ShapeDtypeStruct(cf.shape, out_dtype),
         ],
         interpret=interpret,
     )(
         idx.astype(jnp.int32), sign.astype(jnp.float32),
         cut_ch.astype(jnp.int32), cut_cw.astype(jnp.int32),
         drop.astype(jnp.int32), flip.astype(jnp.int32),
-        y64, c64, jnp.asarray(signs), jnp.asarray(_freq_transpose_matrix()),
-        jnp.asarray(filts),
+        yf, cf, jnp.asarray(filts),
     )
     return (yo.reshape(y.shape), co.reshape(c.shape))

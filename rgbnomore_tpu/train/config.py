@@ -74,7 +74,12 @@ class TrainConfig:
     deterministic: bool = False
     dataset: str = "imagenet"
     batch_per_device: int = 128  # filled by update_config
-    mixup_alpha: float = 1.0
+    # Beta(alpha, alpha) mixup strength.  The reference constructs its mixup
+    # with alpha=0.2 for BOTH domains (pipeline_utils.py:179-181) — NOT the
+    # paper default 1.0.  With the sorted-lambda convention, alpha=0.2 keeps
+    # lambda near 1 most steps (weak mixing); 1.0 would mix lambda~U(.5,1)
+    # every step, which provably stalls short-horizon proxy runs.
+    mixup_alpha: float = 0.2
 
 
 @dataclass

@@ -24,6 +24,9 @@ def test_config_presets_match_reference():
     assert cfg.train.wd == 1e-4 and cfg.train.lr == 3e-3
     assert "SolarizeAdd" in cfg.train.auglist and "Sharpness" not in cfg.train.auglist
     assert cfg.train.dataset == "imagenet_dct" and cfg.model.dct_blocks == 28
+    # the reference builds RandomMixup(_DCT) with alpha=0.2 for both domains
+    # (pipeline_utils.py:179-181), NOT the mixup-paper default 1.0
+    assert cfg.train.mixup_alpha == 0.2
 
     cfg = generate_config("vits", "dct")
     assert cfg.train.epochs == 90 and cfg.model.embed_size == 384

@@ -124,6 +124,19 @@ def main() -> None:
     results["aug"] = timeit(f_aug, (rng, y0, c0), args.iters)
     results["pipeline"] = timeit(pipe, (rng, packed), args.iters)
 
+    # A/B: the fused Pallas flip+RandAugment+ToRange pipeline (augpipe.py)
+    from rgbnomore_tpu.ops.pallas.augpipe import SUPPORTED_OPS
+
+    if set(cfg.train.auglist) <= SUPPORTED_OPS:
+        pipe_fused = jax.jit(make_cropped_train_pipeline(
+            cfg, k=k, fmt=fmt, fused=True,
+            fused_interpret=jax.default_backend() != "tpu",
+        ))
+        try:
+            results["pipeline_fused"] = timeit(pipe_fused, (rng, packed), args.iters)
+        except Exception as e:  # Mosaic lowering failures must not kill the profile
+            print(f"fused pipeline failed: {type(e).__name__}: {str(e)[:300]}")
+
     # ---- model stages ------------------------------------------------------
     yp, cp, labels, _ = pipe(rng, packed)
     jax.block_until_ready((yp, cp))
@@ -199,8 +212,7 @@ def main() -> None:
     }
     OUT.write_text(json.dumps(payload, indent=1))
     width = max(len(s) for s in ms)
-    for name in ("unpack", "flip", "aug", "pipeline", "mixup", "fwd",
-                 "fwd_bwd", "full_step"):
+    for name in ms:
         print(f"{name:<{width}}  {ms[name]:>9.3f} ms  {fps[name]:>8.1f} img/s")
     print(json.dumps(payload["derived"]))
 
