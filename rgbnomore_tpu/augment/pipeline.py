@@ -325,7 +325,7 @@ def make_cropped_train_pipeline(
     k: int = 16,
     fmt: str = "mask16",
     fused: bool | None = False,
-    fused_interpret: bool = False,
+    fused_interpret: bool | None = None,
 ) -> Callable:
     """Train pipeline for the crop-before-pack wire (``DctCroppedLoader``).
 
@@ -357,6 +357,11 @@ def make_cropped_train_pipeline(
             and num_ops > 0
             and set(ops_list) <= SUPPORTED_OPS
         )
+
+    if fused_interpret is None:
+        # explicit fused=True off-TPU falls back to interpret mode so the
+        # fused path stays testable/drivable on CPU
+        fused_interpret = jax.default_backend() != "tpu"
 
     if fused:
         from rgbnomore_tpu.ops.pallas.augpipe import fused_flip_aug_range

@@ -98,7 +98,7 @@ class Trainer:
     def __init__(self, cfg: Config, devices=None, seed: int | None = None, canvas: int = 64,
                  transfer: str = "packed", packed_fmt: str | None = None,
                  packed_k: int | None = None, packed_k_eval: int | None = None,
-                 eval_fmt: str | None = None):
+                 eval_fmt: str | None = None, fused_aug: bool | None = False):
         self.cfg = update_runtime(cfg, len(devices or jax.devices()))
         self.mesh = make_mesh(devices)
         self.n_devices = len(self.mesh.devices.ravel())
@@ -143,7 +143,11 @@ class Trainer:
                 make_cropped_train_pipeline,
             )
 
-            self.train_pipe = make_cropped_train_pipeline(cfg, k=self.packed_k)
+            # fused_aug: the single-pass Pallas flip+RandAugment+ToRange
+            # kernel (ops/pallas/augpipe.py); False = XLA switch path,
+            # None = auto (TPU + supported op list)
+            self.train_pipe = make_cropped_train_pipeline(
+                cfg, k=self.packed_k, fused=fused_aug)
             self.eval_pipe = make_cropped_eval_pipeline(
                 cfg, k=self.packed_k_eval, fmt=self.eval_fmt)
         elif self.domain == "DCT":

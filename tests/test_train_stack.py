@@ -104,6 +104,28 @@ def test_mixup_preserves_target_mass(rng):
     )
 
 
+def test_train_step_learns_with_mixup(rng):
+    """The mixup train path must still drive loss well below the uniform
+    floor ln(K) on a learnable task — a degenerate-targets bug (targets
+    decorrelated from inputs) pins loss at exactly ln(K), which is
+    indistinguishable from 'slow recipe' in long proxy runs unless guarded
+    here (reference semantics: cls_transforms.py RandomMixup_DCT +
+    CrossEntropyLoss on soft targets)."""
+    cfg, model, state = _tiny_setup()
+    y = jnp.asarray(rng.standard_normal((8, 1, 8, 8, 8, 8)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((8, 2, 4, 4, 8, 8)).astype(np.float32))
+    labels = jnp.asarray([1, 2, 3, 4, 5, 6, 7, 8])
+    step = make_train_step(model, cfg.model.classes, use_mixup=True,
+                           mixup_alpha=0.2)
+    base = jax.random.PRNGKey(3)
+    losses = []
+    for _ in range(60):
+        state, metrics = step(state, ((y, c), labels), base)
+        losses.append(float(metrics["loss"]))
+    floor = float(np.log(cfg.model.classes))
+    assert losses[-1] < 0.5 * floor, (losses[::10], floor)
+
+
 # ---------------------------------------------------------- train/eval -----
 def _tiny_setup():
     cfg = generate_config("vitti", "dct")

@@ -198,6 +198,31 @@ def main() -> None:
     windows.sort()
     results["full_step"] = windows[1]
 
+    # honest A/B: the same fused production step with the Pallas aug kernel
+    if "pipeline_fused" in results:
+        try:
+            tr2 = Trainer(cfg, transfer="cropped", fused_aug=True)
+            tr2.schedule = trainer.schedule
+            tr2.state = jax.device_put(
+                TrainState.create(apply_fn=tr2.model.apply, params=params, tx=tx),
+                tr2._rs,
+            )
+            step2 = tr2._fused_train_step()
+            for _ in range(3):
+                tr2.state, m2 = step2(tr2.state, batch, rng)
+            jax.block_until_ready(tr2.state.params)
+            windows = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(per):
+                    tr2.state, m2 = step2(tr2.state, batch, rng)
+                jax.block_until_ready(tr2.state.params)
+                windows.append((time.perf_counter() - t0) / per)
+            windows.sort()
+            results["full_step_fused"] = windows[1]
+        except Exception as e:
+            print(f"fused full step failed: {type(e).__name__}: {str(e)[:300]}")
+
     ms = {k: round(v * 1e3, 3) for k, v in results.items()}
     fps = {k: round(batch_size / v, 1) for k, v in results.items()}
     payload = {

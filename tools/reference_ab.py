@@ -54,6 +54,7 @@ BATCH = 64
 STEPS = 600
 LR, WD, WARMUP = 1e-3, 1e-4, 100
 NUM_OPS, MAGNITUDE = 2, 3
+MIXUP = False  # --mixup: both sides apply batch mixup (reference alpha=0.2)
 AUGLIST = (
     "AutoContrast,Posterize,SolarizeAdd,Color,Contrast,Brightness,MidfreqAug,"
     "Cutout,TranslateX,TranslateY,Rotate90,AutoSaturation,Grayscale,ChromaDrop"
@@ -96,11 +97,18 @@ def run_torch() -> dict:
     train_tf = [
         ctrans.RandomResizedCrop_DCT(28, scale=(0.05, 1.0), ratio=(1, 1)),
         ctrans.RandomFlip_DCT(p=0.5, direction="horizontal"),
-        ctrans.RandAugment_dct(num_ops=NUM_OPS, magnitude=MAGNITUDE,
-                               num_magnitude_bins=11, ops_list=AUGLIST),
+    ] + ([ctrans.RandAugment_dct(num_ops=NUM_OPS, magnitude=MAGNITUDE,
+                                 num_magnitude_bins=11, ops_list=AUGLIST)]
+         if NUM_OPS > 0 else []) + [
         ctrans.ToRange(val_min=-1, val_max=1, orig_min=-1024, orig_max=1016,
                        dtype=torch.float32),
     ]
+    # the reference's own batch mixup (utils/cls_transforms.py RandomMixup_DCT,
+    # wired via pipeline_utils.unpack_data:74-75); alpha fixed at 0.2
+    # (pipeline_utils.py:181)
+    import utils.cls_transforms as ctrans_cls
+
+    mixup_fn = ctrans_cls.RandomMixup_DCT(CLASSES, alpha=0.2) if MIXUP else None
     val_tf = [
         ctrans.ResizedCenterCrop_DCT(32, 28),
         ctrans.ToRange(val_min=-1, val_max=1, orig_min=-1024, orig_max=1016,
@@ -154,6 +162,8 @@ def run_torch() -> dict:
         yb = torch.stack(ys)
         cb = torch.stack(cs)
         tgt = torch.from_numpy(labels[idx]).long()
+        if mixup_fn is not None:  # soft targets; CE accepts prob targets
+            (yb, cb), tgt = mixup_fn((yb, cb), tgt)
 
         for g in opt.param_groups:
             g["lr"] = lr_at(step)
@@ -195,8 +205,12 @@ def run_torch() -> dict:
 
 
 def run_jax() -> dict:
+    import os
+
     import jax
 
+    if os.environ.get("AB_CPU"):  # force CPU when the TPU tunnel is down
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
@@ -207,7 +221,8 @@ def run_jax() -> dict:
     cfg = generate_config("vitti", "dct", modelver=1)
     cfg.model.depth = DEPTH
     cfg.model.classes = CLASSES
-    cfg.model.mixup = False
+    cfg.model.mixup = MIXUP
+    cfg.train.mixup_alpha = 0.2  # the reference's fixed alpha
     cfg.train.batch_size = BATCH
     cfg.train.lr = LR
     cfg.train.wd = WD
@@ -246,13 +261,23 @@ def run_jax() -> dict:
 
 
 def main() -> None:
-    global STEPS, WARMUP
+    global STEPS, WARMUP, LR, NUM_OPS, MIXUP
     ap = argparse.ArgumentParser()
     ap.add_argument("--side", required=True, choices=("torch", "jax", "report"))
     ap.add_argument("--steps", type=int, default=0,
                     help="override the 600-step horizon")
     ap.add_argument("--warmup", type=int, default=0,
                     help="override the 100-step warmup")
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="override the 1e-3 peak lr")
+    ap.add_argument("--num_ops", type=int, default=-1,
+                    help="override RandAugment num_ops (0 disables it on "
+                         "both sides — isolates loader/model/optimizer in a "
+                         "regime where the recipe actually learns)")
+    ap.add_argument("--mixup", action="store_true",
+                    help="apply batch mixup on both sides (reference "
+                         "RandomMixup_DCT alpha=0.2 vs this framework's "
+                         "mixup_batch) — the matched-cocktail probe")
     ap.add_argument("--tag", default="",
                     help="record under '<side>_<tag>' (a second A/B point, "
                          "e.g. the learning-regime warmup-300 run)")
@@ -261,6 +286,11 @@ def main() -> None:
         STEPS = args.steps
     if args.warmup:
         WARMUP = args.warmup
+    if args.lr:
+        LR = args.lr
+    if args.num_ops >= 0:
+        NUM_OPS = args.num_ops
+    MIXUP = args.mixup
     suffix = f"_{args.tag}" if args.tag else ""
     results = json.loads(OUT.read_text()) if OUT.exists() else {}
     if args.side == "torch":
@@ -279,7 +309,7 @@ def main() -> None:
         }
     hype = {"classes": CLASSES, "depth": DEPTH, "batch": BATCH, "steps": STEPS,
             "lr": LR, "wd": WD, "warmup": WARMUP, "num_ops": NUM_OPS,
-            "magnitude": MAGNITUDE, "mixup": False}
+            "magnitude": MAGNITUDE, "mixup": MIXUP}
     results["recipe" + suffix] = hype
     OUT.write_text(json.dumps(results, indent=1))
     print(json.dumps({k: v for k, v in results.get(args.side + suffix, {}).items()
