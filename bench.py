@@ -25,6 +25,8 @@ making vs_baseline a LOWER bound on the true same-resources speedup.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -165,19 +167,116 @@ def main() -> None:
     )
 
 
-if __name__ == "__main__":
+def _probe_backend(timeout: float = 90.0) -> bool:
+    """True iff a fresh interpreter can enumerate devices within ``timeout``.
+
+    Run in a subprocess because on a half-dead axon relay ``jax.devices()``
+    BLOCKS instead of raising (round-3 failure mode) — the parent must be
+    able to kill the probe and try again.
+    """
     try:
-        main()
-    except Exception as exc:  # noqa: BLE001 - always emit the JSON line
-        print(
-            json.dumps(
-                {
-                    "metric": "jpeg_vitti_train_pipeline_imgs_per_sec_per_chip",
-                    "value": 0.0,
-                    "unit": "imgs/sec/chip",
-                    "vs_baseline": 0.0,
-                    "error": str(exc)[:200],
-                }
-            )
+        res = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout,
         )
-        sys.exit(1)
+    except subprocess.TimeoutExpired:
+        return False
+    return res.returncode == 0 and res.stdout.strip().isdigit()
+
+
+def _wait_for_backend(window_s: float = 600.0) -> bool:
+    """Poll backend liveness for up to ``window_s`` seconds (bounded probes,
+    ~30 s apart). Mirrors the reference's always-works rendezvous intent
+    (utils/pipeline_utils.py:78-88): one bad-weather minute on the TPU tunnel
+    must not poison the measurement."""
+    deadline = time.monotonic() + window_s
+    while True:
+        if _probe_backend():
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        sys.stderr.write(
+            f"bench: backend not live, retrying ({remaining:.0f}s left)\n"
+        )
+        time.sleep(min(30.0, max(0.0, remaining)))
+
+
+def _emit_error(msg: str) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "jpeg_vitti_train_pipeline_imgs_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "imgs/sec/chip",
+                "vs_baseline": 0.0,
+                "error": msg[:200],
+            }
+        )
+    )
+
+
+def _orchestrate() -> int:
+    """Liveness-gate, then run the measurement in a bounded-timeout child
+    (retrying once), forwarding exactly ONE JSON line to stdout."""
+    # claim the single-tenancy chip: tools/tpu_queue.py defers to this lock
+    lock = Path("/tmp/rgbnomore_bench.lock")
+    try:
+        lock.write_text(str(os.getpid()))
+    except OSError:
+        pass
+    try:
+        return _orchestrate_inner()
+    finally:
+        try:
+            lock.unlink()
+        except OSError:
+            pass
+
+
+def _orchestrate_inner() -> int:
+    if not _wait_for_backend(window_s=float(os.environ.get("BENCH_WAIT_S", 600))):
+        _emit_error("backend not live after liveness window")
+        return 1
+    for attempt in (1, 2):
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--measure"],
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("BENCH_MEASURE_TIMEOUT_S", 1200)),
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench: measurement attempt {attempt} timed out\n")
+            if attempt == 1 and _wait_for_backend(window_s=300):
+                continue
+            _emit_error("measurement timed out")
+            return 1
+        json_lines = [
+            l for l in res.stdout.splitlines() if l.startswith('{"metric"')
+        ]
+        sys.stderr.write(res.stderr[-4000:])
+        if res.returncode == 0 and json_lines:
+            print(json_lines[-1])
+            return 0
+        sys.stderr.write(
+            f"bench: attempt {attempt} rc={res.returncode} "
+            f"stdout tail: {res.stdout[-500:]}\n"
+        )
+        if attempt == 1 and not _wait_for_backend(window_s=300):
+            break
+    if json_lines:  # child emitted its own error line
+        print(json_lines[-1])
+    else:
+        _emit_error(f"measurement failed rc={res.returncode}")
+    return 1
+
+
+if __name__ == "__main__":
+    if "--measure" in sys.argv:
+        try:
+            main()
+        except Exception as exc:  # noqa: BLE001 - always emit the JSON line
+            _emit_error(str(exc))
+            sys.exit(1)
+    else:
+        sys.exit(_orchestrate())
