@@ -47,40 +47,70 @@ def _tag_path() -> Path:
     return HERE / "_dctcodec.buildtag"
 
 
-def build(force: bool = False) -> Path:
-    out = ext_path()
-    tag = _host_cpu_tag()
-    fresh = (
+def _is_fresh(out: Path, tag: str) -> bool:
+    return (
         out.exists()
         and out.stat().st_mtime >= SRC.stat().st_mtime
         and _tag_path().exists()
         and _tag_path().read_text().strip() == tag
     )
-    if fresh and not force:
+
+
+def build(force: bool = False) -> Path:
+    """Compile (if stale) and return the extension path.
+
+    Concurrency-safe: build() runs at import time, so multiple importers
+    (multi-host workers, spawned test processes) can race here.  The compile
+    writes to a per-PID temporary and ``os.replace``s it into place (atomic
+    on POSIX — no importer ever sees a partially written .so), and an
+    ``flock``-held lockfile serializes concurrent builders so g++ runs once.
+    """
+    import os
+
+    out = ext_path()
+    tag = _host_cpu_tag()
+    if _is_fresh(out, tag) and not force:
         return out
-    include = sysconfig.get_paths()["include"]
-    cmd = [
-        "g++",
-        "-O3",
-        "-march=native",  # the crop+resize f32 loops need AVX to keep up
-        "-funroll-loops",
-        "-ffp-contract=fast",
-        "-fopenmp-simd",  # `omp simd` pragmas only — no OpenMP runtime dep
-        "-std=c++17",
-        "-shared",
-        "-fPIC",
-        f"-I{include}",
-        str(SRC),
-        "-ljpeg",
-        "-o",
-        str(out),
-    ]
-    try:
-        subprocess.run(cmd, check=True)
-    except subprocess.CalledProcessError:
-        cmd.remove("-march=native")  # exotic hosts: portable fallback
-        subprocess.run(cmd, check=True)
-    _tag_path().write_text(tag + "\n")
+
+    lockfile = HERE / "_dctcodec.buildlock"
+    with open(lockfile, "w") as lf:
+        try:
+            import fcntl
+
+            fcntl.flock(lf, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: best effort, atomic replace still holds
+            pass
+        if _is_fresh(out, tag) and not force:  # another process built it
+            return out
+        include = sysconfig.get_paths()["include"]
+        tmp = out.with_name(out.name + f".tmp{os.getpid()}")
+        cmd = [
+            "g++",
+            "-O3",
+            "-march=native",  # the crop+resize f32 loops need AVX to keep up
+            "-funroll-loops",
+            "-ffp-contract=fast",
+            "-fopenmp-simd",  # `omp simd` pragmas only — no OpenMP runtime dep
+            "-std=c++17",
+            "-shared",
+            "-fPIC",
+            f"-I{include}",
+            str(SRC),
+            "-ljpeg",
+            "-o",
+            str(tmp),
+        ]
+        try:
+            try:
+                subprocess.run(cmd, check=True)
+            except subprocess.CalledProcessError:
+                cmd.remove("-march=native")  # exotic hosts: portable fallback
+                subprocess.run(cmd, check=True)
+            os.replace(tmp, out)
+        finally:
+            if tmp.exists():
+                tmp.unlink()
+        _tag_path().write_text(tag + "\n")
     return out
 
 

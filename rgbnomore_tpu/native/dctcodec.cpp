@@ -947,16 +947,27 @@ struct OpEntry {
 
 // Extract + dequantize + clamp the crop window of one component into a dense
 // f32 plane laid out (h*8, w*8) with row index = block_row*8 + u.  Blocks
-// outside the image grid are zero (the reference's crop_dct zero-pads
-// out-of-range coords, utils/dct_ops.py:584-599).
+// outside the image grid default to zero (the reference's crop_dct zero-pads
+// out-of-range coords, utils/dct_ops.py:584-599); callers whose wire
+// convention is BLACK fill (the RGB pixel wire) pass oob_dc = -1024 so
+// out-of-image blocks decode to black, not DC-0 mid-gray (ADVICE r3).
 void extract_window_f32(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays,
                         int comp, const int16_t* quant, long bi, long bj,
-                        long bh, long bw, float* win) {
+                        long bh, long bw, float* win, float oob_dc = 0.f) {
   const long W8 = bw * kDct;
   const long hb = cinfo.comp_info[comp].height_in_blocks;
   const long wb = cinfo.comp_info[comp].width_in_blocks;
-  if (bi < 0 || bj < 0 || bi + bh > hb || bj + bw > wb)  // zero-pad case only
+  if (bi < 0 || bj < 0 || bi + bh > hb || bj + bw > wb) {  // zero-pad case only
     std::memset(win, 0, sizeof(float) * bh * kDct * W8);
+    if (oob_dc != 0.f) {
+      for (long r = 0; r < bh; ++r) {
+        const bool row_oob = (bi + r < 0) || (bi + r >= hb);
+        for (long c = 0; c < bw; ++c)
+          if (row_oob || bj + c < 0 || bj + c >= wb)
+            win[(r * kDct) * W8 + c * kDct] = oob_dc;
+      }
+    }
+  }
   float fq[kDct2];
   for (int i = 0; i < kDct2; ++i) fq[i] = static_cast<float>(quant[i]);
   for (long r = 0; r < bh; ++r) {
@@ -991,7 +1002,7 @@ void extract_window_f32(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays,
 void extract_resize_rows(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays,
                          int comp, const int16_t* quant, long bi, long bj,
                          long bh, long bw, const OpEntry& op, float* tmp,
-                         std::vector<float>* group_scratch) {
+                         std::vector<float>* group_scratch, float oob_dc = 0.f) {
   const long w8 = bw * kDct;
   const int a8 = op.a * kDct, b8 = op.b * kDct;
   group_scratch->resize(static_cast<size_t>(a8) * w8);
@@ -1008,6 +1019,8 @@ void extract_resize_rows(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays
       float* rows = grp + static_cast<size_t>(ar) * kDct * w8;
       if (src_r < 0 || src_r >= hb) {
         std::memset(rows, 0, sizeof(float) * kDct * w8);
+        if (oob_dc != 0.f)
+          for (long c = 0; c < bw; ++c) rows[c * kDct] = oob_dc;
         continue;
       }
       JBLOCKARRAY row_ptrs = (*cinfo.mem->access_virt_barray)(
@@ -1019,6 +1032,7 @@ void extract_resize_rows(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays
           for (int u = 0; u < kDct; ++u)
             std::memset(rows + static_cast<size_t>(u) * w8 + c * kDct, 0,
                         kDct * sizeof(float));
+          if (oob_dc != 0.f) rows[c * kDct] = oob_dc;
           continue;
         }
         const int16_t* blk = reinterpret_cast<int16_t*>(row_ptrs[0][src_c]);
@@ -1616,11 +1630,12 @@ void extract_downsample(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays,
                         const float* g4, std::vector<float>* win,
                         std::vector<float>* tmp, std::vector<float>* out,
                         std::vector<float>* gt, std::vector<float>* grp,
-                        const float** plane) {
+                        const float** plane, float oob_dc = 0.f) {
   const long oh8 = bh / fy * kDct, ow8 = bw / fx * kDct;
   if (fy == 1 && fx == 1) {
     win->resize(static_cast<size_t>(bh) * kDct * bw * kDct);
-    extract_window_f32(cinfo, arrays, comp, quant, bi, bj, bh, bw, win->data());
+    extract_window_f32(cinfo, arrays, comp, quant, bi, bj, bh, bw, win->data(),
+                       oob_dc);
     *plane = win->data();
     return;
   }
@@ -1630,7 +1645,8 @@ void extract_downsample(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays,
              fx == 2 ? g2 : g4};
   if (fy == 1) {
     win->resize(static_cast<size_t>(bh) * kDct * bw * kDct);
-    extract_window_f32(cinfo, arrays, comp, quant, bi, bj, bh, bw, win->data());
+    extract_window_f32(cinfo, arrays, comp, quant, bi, bj, bh, bw, win->data(),
+                       oob_dc);
     out->resize(static_cast<size_t>(oh8) * ow8);
     apply_cols(ox, win->data(), oh8, out->data(), gt);
     *plane = out->data();
@@ -1638,7 +1654,7 @@ void extract_downsample(jpeg_decompress_struct& cinfo, jvirt_barray_ptr* arrays,
   }
   tmp->resize(static_cast<size_t>(oh8) * bw * kDct);
   extract_resize_rows(cinfo, arrays, comp, quant, bi, bj, bh, bw, oy,
-                      tmp->data(), grp);
+                      tmp->data(), grp, oob_dc);
   if (fx == 1) {
     *plane = tmp->data();
     return;
@@ -1751,8 +1767,11 @@ bool rgb_crop_pack_core(const char* path, int k, int t, RgbCropMode mode,
       const bool prof2 = g_prof_enabled.load(std::memory_order_relaxed);
       uint64_t te0 = prof2 ? prof_now() : 0;
       const float* plane;
+      // luma OOB fill -1024: out-of-image slivers inside the rounded-up
+      // window decode to black like the rest of the wire (chroma stays 0 =
+      // neutral, which IS black's chroma)
       extract_downsample(cinfo, arrays, 0, o.quant, wy0, wx0, wbh, wbw, fy, fx,
-                         g2, g4, &win, &tmp, &out, &gt, &grp, &plane);
+                         g2, g4, &win, &tmp, &out, &gt, &grp, &plane, -1024.f);
       uint64_t tp0 = 0;
       if (prof2) {
         tp0 = prof_now();

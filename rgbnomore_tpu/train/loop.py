@@ -267,8 +267,11 @@ class Trainer:
             if use_scaler:
                 # fp16 AMP: dynamic loss scaling (the reference's GradScaler,
                 # pipeline_utils.py:540-541) — scale the loss before backward,
-                # unscale the grads, skip the update on overflow (the schedule
-                # still advances: scheduler.step is unconditional, train.py:174)
+                # unscale the grads, skip the update on overflow. On a skipped
+                # step the Adam moments/count roll back (torch skips
+                # optimizer.step()) but the LR-schedule count still advances
+                # (scheduler.step is unconditional, train.py:174) — see
+                # scaler.select_opt_state.
                 from rgbnomore_tpu.train import scaler as ls
 
                 scale = state.loss_scale.scale
@@ -283,7 +286,9 @@ class Trainer:
                 new_state = state.replace(
                     step=state.step + 1,
                     params=ls.select_tree(finite, candidate.params, state.params),
-                    opt_state=ls.select_tree(finite, candidate.opt_state, state.opt_state),
+                    opt_state=ls.select_opt_state(
+                        finite, candidate.opt_state, state.opt_state
+                    ),
                     loss_scale=ls.update_loss_scale(state.loss_scale, finite),
                 )
                 return new_state, {"loss": sloss / scale}
@@ -508,6 +513,12 @@ def train_and_eval(
 
     if verbose >= 1:
         log.info("config: %s", cfg)
+    if verbose >= 2:
+        # startup shape/param table on the declared input shapes — the
+        # reference's torchinfo.summary (pipeline_utils.py:383-384)
+        from rgbnomore_tpu.utils.summary import model_summary
+
+        log.info("model summary:\n%s", model_summary(trainer.model, cfg))
     savepath = str(savepath)
     Path(savepath).resolve().parent.mkdir(parents=True, exist_ok=True)
     ckpt_dir = ckpt.checkpoint_dir(savepath, f"{cfg.model.arch}_{cfg.model.domain.lower()}")

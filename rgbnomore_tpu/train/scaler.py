@@ -32,6 +32,7 @@ __all__ = [
     "all_finite",
     "update_loss_scale",
     "select_tree",
+    "select_opt_state",
 ]
 
 GROWTH = 1.6
@@ -92,3 +93,32 @@ def update_loss_scale(
 def select_tree(pred: jax.Array, on_true, on_false):
     """Leaf-wise ``where`` over two identically-structured pytrees."""
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def select_opt_state(finite: jax.Array, candidate, current):
+    """Pick the optimizer state after a maybe-skipped step, matching torch
+    GradScaler semantics exactly: on overflow the reference skips
+    ``optimizer.step()`` (Adam moments and its bias-correction count do NOT
+    advance) but still calls ``scheduler.step()`` unconditionally
+    (``train.py:174``) — so the LR-schedule count MUST advance either way.
+
+    Optax folds the schedule into the opt_state (``ScaleByScheduleState``
+    inside ``adamw``), so a whole-tree rollback would also freeze the LR
+    schedule on skipped steps — shifting the entire schedule late by the
+    number of overflows.  This walks the (static) state structure and takes
+    the candidate's ``ScaleByScheduleState`` nodes unconditionally while
+    ``where``-selecting everything else on ``finite``.
+    """
+    import optax
+
+    def walk(cand, cur):
+        if isinstance(cand, optax.ScaleByScheduleState):
+            return cand
+        if isinstance(cand, tuple):
+            merged = [walk(a, b) for a, b in zip(cand, cur)]
+            return type(cand)(*merged) if hasattr(cand, "_fields") else tuple(merged)
+        if isinstance(cand, dict):
+            return {k: walk(cand[k], cur[k]) for k in cand}
+        return jnp.where(finite, cand, cur)
+
+    return walk(candidate, current)

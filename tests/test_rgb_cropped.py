@@ -199,3 +199,23 @@ def test_trainer_rgb_cropped_end_to_end(tmp_path):
     assert np.isfinite(float(m["loss"]))
     res = trainer.evaluate(loaders["test"])
     assert res["count"] == 16 and np.isfinite(res["loss"])
+
+
+def test_out_of_image_blocks_inside_window_fill_black(tmp_path):
+    """window_axis rounds the block window up (16px alignment), so a source
+    whose block grid is smaller than the window leaves blocks INSIDE the
+    packed rect but beyond the image.  Those must carry the wire's black
+    convention (Y DC -1024), not the zero fill that decodes to mid-gray
+    (ADVICE r3, dctcodec.cpp rgb_crop_pack_core)."""
+    path = _write_jpeg(tmp_path / "small.jpg", seed=3, hw=(200, 200))
+    (ncomp, yh, yw, wy0, wx0, wbh, wbw, fy, fx), row, _ = _call_row(
+        path, codec.RGB_CROP_FULL, size=224
+    )
+    # 200px -> 25 image block rows; window rounds up to 26 (16px-aligned)
+    assert (wbh, wbw, fy, fx) == (26, 26, 1, 1)
+    f = split_packed_batch(jnp.asarray(row[None]), 28, 63, "mask16", geom=True)
+    dy = np.asarray(f["dy"][0, 0])  # (28, 28) int16 luma DCs
+    assert (dy[25, :26] == -1024).all()  # OOB row inside the 26-block rect
+    assert (dy[:26, 25] == -1024).all()  # OOB col inside the rect
+    assert (dy[26:, :] == -1024).all() and (dy[:, 26:] == -1024).all()  # pad
+    assert (dy[:25, :25] != -1024).any()  # real content present

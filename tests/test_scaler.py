@@ -141,6 +141,33 @@ def test_fp16_overflow_skips_update_and_backs_off():
     assert float(trainer.state.loss_scale.scale) == pytest.approx(s0 * 0.625)
     assert int(trainer.state.loss_scale.good_steps) == 0
 
+    # GradScaler parity on the opt_state (ADVICE r3): the LR-schedule count
+    # advances on a skipped step (scheduler.step is unconditional,
+    # train.py:174) while Adam's bias-correction count does NOT (torch skips
+    # optimizer.step() entirely).
+    sched, adam = _opt_counts(trainer.state.opt_state)
+    assert sched == 1
+    assert adam == 0
+
+
+def _opt_counts(opt_state):
+    """(schedule_count, adam_count) pulled out of the optax state tree."""
+    import optax
+
+    found = {}
+
+    def walk(x):
+        if isinstance(x, optax.ScaleByScheduleState):
+            found["sched"] = int(x.count)
+        elif isinstance(x, optax.ScaleByAdamState):
+            found["adam"] = int(x.count)
+        elif isinstance(x, tuple):
+            for y in x:
+                walk(y)
+
+    walk(opt_state)
+    return found["sched"], found["adam"]
+
 
 def test_bf16_and_f32_have_no_scaler_state():
     from rgbnomore_tpu.train.config import generate_config

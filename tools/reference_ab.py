@@ -204,7 +204,15 @@ def run_torch() -> dict:
     }
 
 
-def run_jax() -> dict:
+def run_jax(torch_init: bool = False, transfer: str = "cropped") -> dict:
+    """``torch_init``: replace the flax init with a fresh reference-ViT
+    ``torch.manual_seed(0)`` init (same *distribution family* as the torch
+    side — kaiming-uniform kernels + fan-in-uniform biases — vs this
+    framework's torch-matched kernels + ZERO biases).  ``transfer``:
+    'cropped' = the production lossy K=16 wire, 'dense' = full-spectrum
+    transfer like the reference loader.  Each isolates one stochastic
+    component of the learn2 gap (the deterministic process is lockstep-equal,
+    LOCKSTEP_AB.json)."""
     import os
 
     import jax
@@ -232,13 +240,30 @@ def run_jax() -> dict:
     cfg.train.num_ops = NUM_OPS
     cfg.train.split = 0.01  # torch side trains on the full train index
 
-    trainer = Trainer(cfg, canvas=32, transfer="cropped")
+    trainer = Trainer(cfg, canvas=32, transfer=transfer)
     loaders = make_loaders(
         cfg, str(train_idx), str(val_idx), canvas=32, num_threads=2,
-        global_batch=trainer.global_batch(), transfer="cropped",
-        packed_k=trainer.packed_k,
+        global_batch=trainer.global_batch(), transfer=transfer,
+        packed_fmt=trainer.packed_fmt, packed_k=trainer.packed_k,
     )
     trainer.create_state(steps_per_epoch=STEPS)  # schedule total == STEPS
+    if torch_init:
+        import torch
+
+        from rgbnomore_tpu.train.torch_import import import_vit_state_dict
+        from tools.lockstep_ab import torch_init_state_dict
+
+        torch.manual_seed(0)
+        ref_model = torch_init_state_dict(DEPTH)
+        params = import_vit_state_dict(
+            ref_model.state_dict(), num_heads=3, head_size=64, depth=DEPTH,
+            ver=1, use_subblock=True, pixel_space="DCT",
+        )
+        import jax.numpy as jnp
+
+        params = jax.tree.map(jnp.asarray, params)
+        trainer.state = trainer.state.replace(params=jax.device_put(
+            params, trainer._rs))
     step_fn = trainer._fused_train_step()
     rng = jax.random.PRNGKey(1)
     losses = []
@@ -281,6 +306,13 @@ def main() -> None:
     ap.add_argument("--tag", default="",
                     help="record under '<side>_<tag>' (a second A/B point, "
                          "e.g. the learning-regime warmup-300 run)")
+    ap.add_argument("--jax_torch_init", action="store_true",
+                    help="jax side starts from a reference torch.manual_seed(0)"
+                         " init (bisects the init-distribution component)")
+    ap.add_argument("--jax_transfer", default="cropped",
+                    choices=("cropped", "dense"),
+                    help="jax side wire: production lossy K=16 'cropped' or "
+                         "full-spectrum 'dense' (bisects the wire component)")
     args = ap.parse_args()
     if args.steps:
         STEPS = args.steps
@@ -296,7 +328,10 @@ def main() -> None:
     if args.side == "torch":
         results["torch" + suffix] = run_torch()
     elif args.side == "jax":
-        results["jax" + suffix] = run_jax()
+        results["jax" + suffix] = run_jax(
+            torch_init=args.jax_torch_init, transfer=args.jax_transfer)
+        results["jax" + suffix]["torch_init"] = args.jax_torch_init
+        results["jax" + suffix]["transfer"] = args.jax_transfer
     else:
         t, j = results["torch" + suffix], results["jax" + suffix]
         diff = abs(t["val_acc"] - j["val_acc"])
