@@ -4,10 +4,13 @@ Faithful functional re-designs of the reference embedding layers
 (``models/plainvit.py:90-410``) in Flax linen.  Naming of the variants
 follows the CLI: embed_type 1 = grouped, 2 = separate, 3 = concatenate.
 
-Initialization note: Linear kernels use a torch-style fan-in uniform
-initializer so from-scratch training matches the reference recipe; biases
-are zero-initialized (divergence from torch's fan-in uniform bias —
-negligible and simpler).
+Initialization note: Linear/Conv kernels AND biases use torch-style fan-in
+uniform initializers so from-scratch training matches the reference recipe
+exactly.  Biases were zero-initialized through round 3; the round-4 learn2
+bisect (REFERENCE_AB.json jax_learn2_torchinit, BENCHMARKS.md) measured that
+this seemingly negligible divergence shifts plateau-escape timing enough to
+move final val acc ~5 points at proxy scale — so the fan-in uniform bias is
+now the default (``torch_bias_init``).
 """
 
 from __future__ import annotations
@@ -28,6 +31,32 @@ from rgbnomore_tpu.models.subblock import (
 
 # torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) -> variance 1/(3 fan_in)
 torch_linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch nn.Linear/Conv2d default bias init: U(-1/sqrt(fan_in),
+    1/sqrt(fan_in)).  Flax bias initializers only see the bias shape, which
+    has no fan-in, so the caller closes over the layer's input width
+    (``x.shape[-1]`` at the call site, or in_ch*kh*kw for convs)."""
+    bound = 1.0 / math.sqrt(max(1, fan_in))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_dense(x: jax.Array, features: int, *, name: str, dtype=jnp.float32) -> jax.Array:
+    """``nn.Dense`` with torch's exact default init (kaiming-uniform kernel +
+    fan-in uniform bias) — the init family every reference plainvit Linear
+    uses (``models/plainvit.py``, torch defaults)."""
+    return nn.Dense(
+        features,
+        kernel_init=torch_linear_init,
+        bias_init=torch_bias_init(x.shape[-1]),
+        dtype=dtype,
+        name=name,
+    )(x)
 
 
 def sincos_position_embedding(h: int, w: int, e: int, dtype=jnp.float32) -> jax.Array:
@@ -72,6 +101,7 @@ class PatchEmbeddingRGB(nn.Module):
             strides=(self.patch_size, self.patch_size),
             padding="VALID",
             kernel_init=torch_linear_init,
+            bias_init=torch_bias_init(3 * self.patch_size**2),
             dtype=self.dtype,
             name="projection",
         )(x)
@@ -114,9 +144,7 @@ class PatchEmbeddingDCTGroup(nn.Module):
         y = rearrange(y, "b c h w i j -> b h w (c i j)")
         cbcr = rearrange(cbcr, "b c h w i j -> b h w (c i j)")
         feats = jnp.concatenate([y, cbcr], axis=-1)
-        feats = nn.Dense(
-            self.emb_size, kernel_init=torch_linear_init, dtype=self.dtype, name="projection"
-        )(feats)
+        feats = torch_dense(feats, self.emb_size, dtype=self.dtype, name="projection")
         if self.add_sincos:
             feats = _add_sincos(feats)
         feats = rearrange(feats, "b h w e -> b (h w) e")
@@ -151,22 +179,16 @@ class PatchEmbeddingDCTSeparate(nn.Module):
             cbcr, "b c (h pdh) (w pdw) p1 p2 -> b h w (c pdh pdw) (p1 p2)", pdh=pd_c, pdw=pd_c
         )
         youts = [
-            nn.Dense(per_block, kernel_init=torch_linear_init, dtype=self.dtype, name=f"linear_y{i}")(
-                y[:, :, :, i]
-            )
+            torch_dense(y[:, :, :, i], per_block, dtype=self.dtype, name=f"linear_y{i}")
             for i in range(y.shape[3])
         ]
         couts = [
-            nn.Dense(per_block, kernel_init=torch_linear_init, dtype=self.dtype, name=f"linear_c{i}")(
-                cbcr[:, :, :, i]
-            )
+            torch_dense(cbcr[:, :, :, i], per_block, dtype=self.dtype, name=f"linear_c{i}")
             for i in range(cbcr.shape[3])
         ]
         feats = jnp.concatenate(youts + couts, axis=-1)
         feats = nn.gelu(feats, approximate=False)
-        feats = nn.Dense(
-            self.emb_size, kernel_init=torch_linear_init, dtype=self.dtype, name="linear_mix"
-        )(feats)
+        feats = torch_dense(feats, self.emb_size, dtype=self.dtype, name="linear_mix")
         feats = _add_sincos(feats)
         return rearrange(feats, "b h w e -> b (h w) e")
 
@@ -200,18 +222,12 @@ class PatchEmbeddingDCTSeparateSubblock(nn.Module):
 
         y = rearrange(y, "b c h w i j -> b h w (c i j)")
         cbcr = rearrange(cbcr, "b c h w i j -> b h w (c i j)")
-        y = nn.Dense(
-            self.emb_size // 6 * 4, kernel_init=torch_linear_init, dtype=self.dtype, name="projection_y"
-        )(y)
-        cbcr = nn.Dense(
-            self.emb_size // 6 * 2, kernel_init=torch_linear_init, dtype=self.dtype, name="projection_c"
-        )(cbcr)
+        y = torch_dense(y, self.emb_size // 6 * 4, dtype=self.dtype, name="projection_y")
+        cbcr = torch_dense(cbcr, self.emb_size // 6 * 2, dtype=self.dtype, name="projection_c")
         feats = jnp.concatenate([y, cbcr], axis=-1)
         feats = nn.gelu(feats, approximate=False)
         residual = feats
-        feats = nn.Dense(
-            self.emb_size, kernel_init=torch_linear_init, dtype=self.dtype, name="linear_mix"
-        )(feats)
+        feats = torch_dense(feats, self.emb_size, dtype=self.dtype, name="linear_mix")
         feats = feats + residual
         feats = _add_sincos(feats)
         return rearrange(feats, "b h w e -> b (h w) e")
@@ -238,9 +254,7 @@ class PatchEmbeddingDCTConcat(nn.Module):
                 x = apply_subblock(x, conv, combine=False)
                 x = ungroup_blocks(x, pd)
             x = rearrange(x, "b c h w i j -> b c h w (i j)")
-            x = nn.Dense(
-                self.emb_size, kernel_init=torch_linear_init, dtype=self.dtype, name=name
-            )(x)
+            x = torch_dense(x, self.emb_size, dtype=self.dtype, name=name)
             x = _add_sincos(x)  # per-channel sincos on (b, c, h, w, e)
             return rearrange(x, "b c h w e -> b (c h w) e")
 

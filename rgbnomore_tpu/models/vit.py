@@ -24,6 +24,8 @@ from rgbnomore_tpu.models.embeddings import (
     PatchEmbeddingDCTSeparate,
     PatchEmbeddingDCTSeparateSubblock,
     PatchEmbeddingRGB,
+    torch_bias_init,
+    torch_dense,
     torch_linear_init,
 )
 
@@ -52,7 +54,7 @@ class MultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         inner = self.num_heads * self.head_size
-        qkv = nn.Dense(inner * 3, kernel_init=torch_linear_init, dtype=self.dtype, name="qkv")(x)
+        qkv = torch_dense(x, inner * 3, dtype=self.dtype, name="qkv")
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = rearrange(q, "b n (h d) -> b h n d", h=self.num_heads)
         k = rearrange(k, "b n (h d) -> b h n d", h=self.num_heads)
@@ -70,9 +72,7 @@ class MultiHeadAttention(nn.Module):
                 att = nn.Dropout(self.dropout)(att, deterministic=deterministic)
             out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         out = rearrange(out, "b h n d -> b n (h d)")
-        return nn.Dense(
-            self.emb_size, kernel_init=torch_linear_init, dtype=self.dtype, name="projection"
-        )(out)
+        return torch_dense(out, self.emb_size, dtype=self.dtype, name="projection")
 
 
 class EncoderBlock(nn.Module):
@@ -97,16 +97,11 @@ class EncoderBlock(nn.Module):
         x = x + h
 
         h = nn.LayerNorm(epsilon=LN_EPS, name="ln2")(x)
-        h = nn.Dense(
-            self.forward_expansion * self.emb_size,
-            kernel_init=torch_linear_init,
-            dtype=self.dtype,
-            name="mlp1",
-        )(h)
+        h = torch_dense(h, self.forward_expansion * self.emb_size, dtype=self.dtype, name="mlp1")
         h = nn.gelu(h, approximate=False)
         if self.forward_drop_p > 0:
             h = nn.Dropout(self.forward_drop_p)(h, deterministic=deterministic)
-        h = nn.Dense(self.emb_size, kernel_init=torch_linear_init, dtype=self.dtype, name="mlp2")(h)
+        h = torch_dense(h, self.emb_size, dtype=self.dtype, name="mlp2")
         if self.drop_p > 0:
             h = nn.Dropout(self.drop_p)(h, deterministic=deterministic)
         return x + h
@@ -123,10 +118,11 @@ class ClassificationHead(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nn.LayerNorm(epsilon=LN_EPS, name="ln")(x)
         x = jnp.mean(x, axis=1)
-        x = nn.Dense(self.emb_size, kernel_init=torch_linear_init, dtype=self.dtype, name="linear1")(x)
+        x = torch_dense(x, self.emb_size, dtype=self.dtype, name="linear1")
         x = jnp.tanh(x)
         # final logits in f32 regardless of compute dtype
-        return nn.Dense(self.n_classes, kernel_init=torch_linear_init, name="linear2")(
+        return nn.Dense(self.n_classes, kernel_init=torch_linear_init,
+                        bias_init=torch_bias_init(self.emb_size), name="linear2")(
             x.astype(jnp.float32)
         )
 

@@ -174,3 +174,37 @@ def test_vit_bf16_close_to_f32(rng):
     # logits agree to bf16 noise; top-1 decisions identical on clear margins
     assert np.abs(out32 - out16).max() < 0.15
     assert (out32.argmax(-1) == out16.argmax(-1)).all()
+
+
+def test_bias_init_matches_torch_distribution(rng):
+    """From-scratch biases follow torch's Linear default U(+-1/sqrt(fan_in))
+    (round-4 learn2 bisect: zero-bias init measurably shifts training —
+    REFERENCE_AB.json jax_learn2_torchinit)."""
+    import jax
+    import numpy as np
+
+    from rgbnomore_tpu.models import ViT
+
+    model = ViT(emb_size=192, depth=2, num_heads=3, head_size=64,
+                n_classes=100, pixel_space="DCT", ver=1, use_subblock=True)
+    y = jnp.zeros((2, 1, 28, 28, 8, 8))
+    c = jnp.zeros((2, 2, 14, 14, 8, 8))
+    params = model.init(jax.random.PRNGKey(3), y, c)["params"]
+
+    checks = 0
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    by_path = {"/".join(str(k.key) for k in p): np.asarray(v) for p, v in flat}
+    for path, bias in by_path.items():
+        if not path.endswith("bias") or "ln" in path or "norm" in path:
+            continue
+        kernel = by_path.get(path[: -len("bias")] + "kernel")
+        if kernel is None or kernel.ndim < 2:
+            continue
+        fan_in = int(np.prod(kernel.shape[:-1]))
+        bound = 1.0 / np.sqrt(fan_in)
+        assert np.abs(bias).max() <= bound + 1e-7, path
+        assert np.abs(bias).max() > 0, f"{path} still zero-initialized"
+        if bias.size >= 100:  # distribution shape check on the bigger biases
+            assert np.std(bias) > 0.4 * bound / np.sqrt(3), path
+            checks += 1
+    assert checks >= 3  # qkv/mlp1/mlp2/projection at least
