@@ -123,18 +123,19 @@ def main() -> None:
     # at window boundaries).
     skip, windows, per_window = 5, 7, 10
     it = loader.iter_cycle(skip + windows * per_window)
+    m = None
     for _ in range(skip):  # compile + warm, excluded
-        trainer.state, _ = step(trainer.state, trainer.put_batch(next(it)), rng)
-    jax.block_until_ready(trainer.state.params)
+        trainer.state, m = step(trainer.state, trainer.put_batch(next(it)), rng)
+    _ = float(m["loss"])  # FIFO drain: block_until_ready can ack pre-execution
     window_fps = []
     for _ in range(windows):
         t0 = time.perf_counter()
         n = 0
         for _ in range(per_window):
             batch = next(it)
-            trainer.state, _ = step(trainer.state, trainer.put_batch(batch), rng)
+            trainer.state, m = step(trainer.state, trainer.put_batch(batch), rng)
             n += batch["labels"].shape[0]
-        jax.block_until_ready(trainer.state.params)
+        _ = float(m["loss"])  # scalar readback = honest sync through the relay
         window_fps.append(n / (time.perf_counter() - t0))
     window_fps.sort()
     n_img, dt = window_fps[len(window_fps) // 2], 1.0  # median window fps

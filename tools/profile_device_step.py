@@ -15,9 +15,10 @@ This tool splits it into its stages to locate kernel-optimization targets
   step_rest  fwd_bwd + optimizer update on FIXED inputs (no pipeline)
   full_step  the production fused step (pipeline+mixup+fwd+bwd+update)
 
-All inputs are device-resident before timing; the only sync is
-block_until_ready on device outputs (no host readbacks — the tunnel
-serializes transfers with execution).  Run on the real TPU:
+All inputs are device-resident before timing.  Timing uses the FIFO-drain
+method (utils/timing.py): block_until_ready on this relay can acknowledge
+enqueue before execution, so every window ends in a tiny host readback and
+per-call time is the two-queue-depth slope.  Run on the real TPU:
 
   PYTHONPATH=. python tools/profile_device_step.py [--batch 256] [--iters 30]
 
@@ -35,22 +36,12 @@ OUT = Path(__file__).resolve().parents[1] / "STEP_PROFILE.json"
 
 
 def timeit(fn, args, iters: int, warmup: int = 3) -> float:
-    """Median-of-3-windows seconds per call; fn returns device arrays."""
-    import jax
+    """Seconds per call via FIFO-drain two-point timing (utils/timing.py)."""
+    from rgbnomore_tpu.utils.timing import timeit_fifo
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    windows = []
-    per = max(1, iters // 3)
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(per):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        windows.append((time.perf_counter() - t0) / per)
-    windows.sort()
-    return windows[1]
+    return timeit_fifo(
+        fn, args, depths=(max(2, iters // 5), iters), repeats=3, warmup=warmup
+    )
 
 
 def main() -> None:
@@ -183,43 +174,36 @@ def main() -> None:
         TrainState.create(apply_fn=trainer.model.apply, params=params, tx=tx),
         trainer._rs,
     )
+    from rgbnomore_tpu.utils.timing import timeit_fifo_carry
+
     step = trainer._fused_train_step()
-    for _ in range(3):
-        trainer.state, m = step(trainer.state, batch, rng)
-    jax.block_until_ready(trainer.state.params)
-    windows = []
-    per = max(1, args.iters // 3)
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(per):
-            trainer.state, m = step(trainer.state, batch, rng)
-        jax.block_until_ready(trainer.state.params)
-        windows.append((time.perf_counter() - t0) / per)
-    windows.sort()
-    results["full_step"] = windows[1]
+    results["full_step"] = timeit_fifo_carry(
+        lambda s: step(s, batch, rng)[0], trainer.state,
+        depths=(max(2, args.iters // 5), args.iters), repeats=3,
+    )
 
     # honest A/B: the same fused production step with the Pallas aug kernel
     if "pipeline_fused" in results:
         try:
             tr2 = Trainer(cfg, transfer="cropped", fused_aug=True)
             tr2.schedule = trainer.schedule
+            # the timed step above donates its TrainState (which aliased
+            # `params`); rebuild the params tree from a fresh init
+            params2 = jax.tree.map(
+                jnp.copy,
+                tr2.model.init(jax.random.PRNGKey(1), *example_inputs(cfg, 2))[
+                    "params"
+                ],
+            )
             tr2.state = jax.device_put(
-                TrainState.create(apply_fn=tr2.model.apply, params=params, tx=tx),
+                TrainState.create(apply_fn=tr2.model.apply, params=params2, tx=tx),
                 tr2._rs,
             )
             step2 = tr2._fused_train_step()
-            for _ in range(3):
-                tr2.state, m2 = step2(tr2.state, batch, rng)
-            jax.block_until_ready(tr2.state.params)
-            windows = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(per):
-                    tr2.state, m2 = step2(tr2.state, batch, rng)
-                jax.block_until_ready(tr2.state.params)
-                windows.append((time.perf_counter() - t0) / per)
-            windows.sort()
-            results["full_step_fused"] = windows[1]
+            results["full_step_fused"] = timeit_fifo_carry(
+                lambda s: step2(s, batch, rng)[0], tr2.state,
+                depths=(max(2, args.iters // 5), args.iters), repeats=3,
+            )
         except Exception as e:
             print(f"fused full step failed: {type(e).__name__}: {str(e)[:300]}")
 
