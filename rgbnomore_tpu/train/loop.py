@@ -145,7 +145,11 @@ class Trainer:
 
             # fused_aug: the single-pass Pallas flip+RandAugment+ToRange
             # kernel (ops/pallas/augpipe.py); False = XLA switch path,
-            # None = auto (TPU + supported op list)
+            # None = auto (TPU + supported op list).  Default stays False
+            # from data: the round-4 device A/B measured the kernel SLOWER
+            # than XLA (pipeline 9.8 vs 7.2 ms, full step 87.6 vs 85.6 ms at
+            # batch 256 — STEP_PROFILE.json, BENCHMARKS.md "Pallas fused aug
+            # pipeline").
             self.train_pipe = make_cropped_train_pipeline(
                 cfg, k=self.packed_k, fused=fused_aug)
             self.eval_pipe = make_cropped_eval_pipeline(
