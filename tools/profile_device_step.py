@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--num-images", type=int, default=0,
                     help="corpus size (default: one batch)")
+    ap.add_argument("--amp", default="",
+                    help="measure with AMP compute (e.g. 'bf16'); results "
+                         "land under an amp-suffixed key set")
     args = ap.parse_args()
 
     import jax
@@ -75,7 +78,10 @@ def main() -> None:
     index = make_synthetic_dataset(
         Path("/tmp/rgbnomore_bench"), args.num_images or batch_size
     )
-    cfg = generate_config("vitti", "dct", modelver=1, batchsize=batch_size)
+    cfg = generate_config(
+        "vitti", "dct", modelver=1, batchsize=batch_size,
+        amp=bool(args.amp), ampdtype=args.amp or None,
+    )
     trainer = Trainer(cfg, transfer="cropped")
     ds = load_index(index)
     loader = DctCroppedLoader(
@@ -219,6 +225,13 @@ def main() -> None:
             "unpack_share_pct": round(100 * results["unpack"] / results["full_step"], 1),
         },
     }
+    prev = json.loads(OUT.read_text()) if OUT.exists() else {}
+    if args.amp:
+        # keep the f32 table intact; amp runs land under their own key
+        prev[f"amp_{args.amp}"] = payload
+        payload = prev
+    else:
+        payload.update({k: v for k, v in prev.items() if k.startswith("amp_")})
     OUT.write_text(json.dumps(payload, indent=1))
     width = max(len(s) for s in ms)
     for name in ms:
