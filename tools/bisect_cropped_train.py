@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Bisect WHY training through the cropped wire flatlines while the packed
+wire takes off (round-4 finding; see BWD_PROBE train_ab + RECIPE_PROXY).
+
+Same dct-nomix proxy recipe as validate_recipe.py (preset ViT-Ti, no mixup,
+warmup 300, 1100 steps).  Measured facts going in:
+  - transfer='packed'  K=16: val acc ~0.46-0.50 by epoch 25 (takes off)
+  - transfer='cropped' K=16: converges to uniform logits (never takes off)
+
+Arms (run any subset via --arm, each resumes from its checkpoint):
+  crop_k63     cropped wire, K=63 (near-full spectrum; isolates top-K loss)
+  crop_noaug   cropped wire, K=16, RandAugment OFF (isolates aug x wire)
+  pack_noaug   packed wire, K=16, RandAugment OFF (noaug control)
+  crop_k32     cropped wire, K=32 (knee search)
+  crop_w16     cropped wire, K=16, fmt=mask16w (int16 ACs; isolates int8
+               scale quantization from the top-K selection itself)
+
+Results land in CROPBISECT.json.
+Run on TPU: PYTHONPATH=. python tools/bisect_cropped_train.py --arm crop_k63
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+OUT = Path(__file__).resolve().parents[1] / "CROPBISECT.json"
+CLASSES = 20
+
+ARMS = {
+    "crop_k63": dict(transfer="cropped", packed_k=63, aug=True),
+    "crop_noaug": dict(transfer="cropped", packed_k=16, aug=False),
+    "pack_noaug": dict(transfer="packed", packed_k=16, aug=False),
+    "crop_k32": dict(transfer="cropped", packed_k=32, aug=True),
+    "crop_w16": dict(transfer="cropped", packed_k=16, aug=True, fmt="mask16w"),
+}
+
+
+def main() -> None:
+    import logging
+
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(asctime)s] %(message)s", datefmt="%H:%M:%S")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arm", required=True, choices=sorted(ARMS))
+    ap.add_argument("--steps", type=int, default=1100)
+    ap.add_argument("--batch", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from tools.validate_recipe import N_IMAGES, make_dataset
+
+    from rgbnomore_tpu.train.config import generate_config
+    from rgbnomore_tpu.train.loop import train_and_eval
+
+    train_idx, val_idx = make_dataset(Path("/tmp/recipe_ds"))
+    spec = ARMS[args.arm]
+
+    cfg = generate_config("vitti", "dct", modelver=1)
+    cfg.model.classes = CLASSES
+    cfg.model.mixup = False
+    cfg.train.batch_size = args.batch
+    steps_per_epoch = (N_IMAGES * 9 // 10) * 99 // 100 // args.batch
+    cfg.train.epochs = max(1, args.steps // steps_per_epoch)
+    cfg.train.warmup = min(300, args.steps // 3)
+    if not spec["aug"]:
+        cfg.train.auglist = []
+        cfg.train.num_ops = 0
+
+    workdir = Path(f"/tmp/cropbisect_{args.arm}")
+    workdir.mkdir(parents=True, exist_ok=True)
+    ckpt = workdir / "checkpoints" / "vitti_dct"
+    res = train_and_eval(
+        cfg, str(train_idx), str(val_idx),
+        savepath=str(workdir / "model.msgpack"),
+        load_ckpt_dir=str(ckpt) if ckpt.exists() and any(ckpt.iterdir()) else "",
+        run_train=True, run_eval=True, verbose=1, num_threads=2,
+        ckpt_every=10, canvas=32, transfer=spec["transfer"],
+        packed_k=spec["packed_k"],
+    )
+    row = {
+        **{k: v for k, v in spec.items()},
+        "steps": args.steps, "batch": args.batch,
+        "epochs": cfg.train.epochs,
+        "val_acc": round(res["val"]["accuracy"], 4),
+        "test_acc": round(res["test"]["accuracy"], 4),
+        "test_loss": round(res["test"]["loss"], 4),
+    }
+    results = json.loads(OUT.read_text()) if OUT.exists() else {}
+    results[args.arm] = row
+    OUT.write_text(json.dumps(results, indent=1))
+    print(json.dumps(row, indent=1))
+
+
+if __name__ == "__main__":
+    main()
