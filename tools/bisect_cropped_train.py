@@ -37,6 +37,15 @@ ARMS = {
     "pack_noaug": dict(transfer="packed", packed_k=16, aug=False),
     "crop_k32": dict(transfer="cropped", packed_k=32, aug=True),
     "crop_w16": dict(transfer="cropped", packed_k=16, aug=True, fmt="mask16w"),
+    # noise-retention hypothesis (WIRE_SNR.json): packed K=16 retains only
+    # 57% of AC variance (it drops the corpus's JPEG'd pixel noise in the
+    # quantized domain) yet LEARNS, while cropped K=16 retains 91% and
+    # flatlines — maybe the extra retained variance is noise that shifts
+    # takeoff.  dense == the reference's full-spectrum semantics; crop_k8
+    # truncates harder (more denoising) than the flatlining crop_k16.
+    "dense": dict(transfer="dense", packed_k=None, aug=True),
+    "crop_k8": dict(transfer="cropped", packed_k=8, aug=True),
+    "pack_k63": dict(transfer="packed", packed_k=63, aug=True),
 }
 
 
