@@ -98,7 +98,8 @@ class Trainer:
     def __init__(self, cfg: Config, devices=None, seed: int | None = None, canvas: int = 64,
                  transfer: str = "packed", packed_fmt: str | None = None,
                  packed_k: int | None = None, packed_k_eval: int | None = None,
-                 eval_fmt: str | None = None, fused_aug: bool | None = False):
+                 eval_fmt: str | None = None, fused_aug: bool | None = False,
+                 train_fmt: str | None = None):
         self.cfg = update_runtime(cfg, len(devices or jax.devices()))
         self.mesh = make_mesh(devices)
         self.n_devices = len(self.mesh.devices.ravel())
@@ -150,8 +151,9 @@ class Trainer:
             # than XLA (pipeline 9.8 vs 7.2 ms, full step 87.6 vs 85.6 ms at
             # batch 256 — STEP_PROFILE.json, BENCHMARKS.md "Pallas fused aug
             # pipeline").
+            self.train_fmt = train_fmt or "mask16"
             self.train_pipe = make_cropped_train_pipeline(
-                cfg, k=self.packed_k, fused=fused_aug)
+                cfg, k=self.packed_k, fmt=self.train_fmt, fused=fused_aug)
             self.eval_pipe = make_cropped_eval_pipeline(
                 cfg, k=self.packed_k_eval, fmt=self.eval_fmt)
         elif self.domain == "DCT":
@@ -392,14 +394,29 @@ class Trainer:
         sums = []
         for batch in loader:
             sums.append(eval_step(self.state.params, self.put_batch(batch)))
-        return merge_eval_metrics(sums)
+        out = merge_eval_metrics(sums)
+        # a silently-empty eval (all-zero weights / empty split) would report
+        # accuracy 0.0 and masquerade as a training failure — fail loudly
+        # instead (round-5; the dryrun asserts the same).  NOTE the genuine
+        # exactly-0.0 case exists: a constant-class predictor whose class is
+        # absent from a tiny minival (CROPBISECT val_acc 0.0 = argmax
+        # constantly class 1, absent from the 54-example proxy minival).
+        # merge_eval_metrics clamps count to >= 1 for the division, so check
+        # the raw weighted count here.
+        raw_count = sum(float(s["count"]) for s in sums)
+        if not sums or raw_count <= 0:
+            raise RuntimeError(
+                f"evaluation saw no weighted examples ({len(sums)} batches); "
+                "check the split/loader wiring"
+            )
+        return out
 
 
 def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int = 64,
                  num_threads: int = 4, global_batch: int | None = None,
                  transfer: str = "packed", packed_fmt: str | None = None,
                  packed_k: int | None = None, packed_k_eval: int | None = None,
-                 eval_fmt: str | None = None):
+                 eval_fmt: str | None = None, train_fmt: str | None = None):
     """Build train / minival / trainval / test loaders (``datasets.py:445-582``)."""
     train_all = load_index(index_train)
     test_ds = load_index(index_val)
@@ -431,9 +448,10 @@ def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int =
         k = packed_k or 16
         ek, ef = cropped_eval_defaults("DCT")
         k_eval, fmt_eval = packed_k_eval or ek, eval_fmt or ef
+        fmt_train = train_fmt or "mask16"
         mk = lambda ds, shuffle, drop: DctCroppedLoader(
             ds, bsz, target=cfg.model.dct_blocks,
-            k=k if shuffle else k_eval, fmt="mask16" if shuffle else fmt_eval,
+            k=k if shuffle else k_eval, fmt=fmt_train if shuffle else fmt_eval,
             mode="train" if shuffle else eval_mode, max_src=canvas,
             shuffle=shuffle, drop_last=drop, seed=cfg.seed,
             num_threads=num_threads, **shard_kw,
@@ -496,6 +514,7 @@ def train_and_eval(
     packed_k: int | None = None,
     packed_k_eval: int | None = None,
     eval_fmt: str | None = None,
+    train_fmt: str | None = None,
     ckpt_every: int = 1,
 ) -> dict:
     """Main train/eval flow (reference ``train.py:traineval``).  Returns final
@@ -503,12 +522,13 @@ def train_and_eval(
     devices = jax.devices()[:num_devices] if num_devices else None
     trainer = Trainer(cfg, devices=devices, canvas=canvas, transfer=transfer,
                       packed_k=packed_k, packed_k_eval=packed_k_eval,
-                      eval_fmt=eval_fmt)
+                      eval_fmt=eval_fmt, train_fmt=train_fmt)
     loaders = make_loaders(
         cfg, index_train, index_val, canvas=canvas, num_threads=num_threads,
         global_batch=trainer.global_batch(), transfer=transfer,
         packed_fmt=trainer.packed_fmt, packed_k=trainer.packed_k,
         packed_k_eval=trainer.packed_k_eval, eval_fmt=trainer.eval_fmt,
+        train_fmt=getattr(trainer, "train_fmt", None),
     )
     steps_per_epoch = len(loaders["train"])
     if max_steps_per_epoch:

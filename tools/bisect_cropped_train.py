@@ -37,10 +37,12 @@ ARMS = {
     "pack_noaug": dict(transfer="packed", packed_k=16, aug=False),
     "crop_k32": dict(transfer="cropped", packed_k=32, aug=True),
     "crop_w16": dict(transfer="cropped", packed_k=16, aug=True, fmt="mask16w"),
-    # noise-retention hypothesis (WIRE_SNR.json): packed K=16 retains only
-    # 57% of AC variance (it drops the corpus's JPEG'd pixel noise in the
-    # quantized domain) yet LEARNS, while cropped K=16 retains 91% and
-    # flatlines — maybe the extra retained variance is noise that shifts
+    # noise hypothesis (WIRE_SNR.json; keys renamed round-5 per ADVICE —
+    # the old 'ac_var_retained' was 1 - err_energy/signal_energy, not a
+    # retained-variance fraction): packed K=16 has MORE truncation error
+    # than cropped K=16 yet LEARNS, while cropped flatlines — the cropped
+    # wire's int8 AC quantization (scale=ceil(maxabs/127)) puts ~56% rel
+    # error on small-magnitude ACs, extra input noise that can delay
     # takeoff.  dense == the reference's full-spectrum semantics; crop_k8
     # truncates harder (more denoising) than the flatlining crop_k16.
     "dense": dict(transfer="dense", packed_k=None, aug=True),
@@ -93,7 +95,7 @@ def main() -> None:
         load_ckpt_dir=str(ckpt) if ckpt.exists() and any(ckpt.iterdir()) else "",
         run_train=True, run_eval=True, verbose=1, num_threads=2,
         ckpt_every=10, canvas=32, transfer=spec["transfer"],
-        packed_k=spec["packed_k"],
+        packed_k=spec["packed_k"], train_fmt=spec.get("fmt"),
     )
     row = {
         **{k: v for k, v in spec.items()},

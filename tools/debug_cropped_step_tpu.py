@@ -58,18 +58,25 @@ def main() -> None:
     it = iter(loaders["train"])
     b1 = next(it)
     b2 = next(it)
-    # zero the coefficient content but keep labels/weights: labels sit in the
-    # row tail; zero everything except the last 8 bytes (labels int32 +
-    # weights f32)
+    # zero the coefficient content but keep labels/weights.  Fields are NOT
+    # ordered with labels last: mask16/mask16w layouts place the int16 DC
+    # planes dy/dc AFTER labels/weights (data/loader.py packed_layout), so
+    # blank each field's byte range individually (ADVICE round-4: a
+    # prefix-zero control silently kept the DC content and measured a
+    # DC-only step as "input-independent")
     from rgbnomore_tpu.data.loader import packed_layout
 
     if args.transfer == "cropped":
         layout = packed_layout(28, tr.packed_k, "mask16")
     else:
         layout = packed_layout(32, tr.packed_k, tr.packed_fmt)
-    lab_off = layout["labels"][0]
     b3 = {k: v.copy() for k, v in b1.items()}
-    b3["packed"][:, :lab_off] = 0
+    for name, spec in layout.items():
+        if name in ("row", "labels", "weights"):
+            continue
+        off, shape, dtype = spec
+        nbytes = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
+        b3["packed"][:, off:off + nbytes] = 0
 
     step_fn = tr._fused_train_step()
     base_rng = jax.random.PRNGKey(0)

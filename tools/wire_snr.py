@@ -88,9 +88,15 @@ def main() -> None:
         ac[0, 0] = False
         ev = float((err[..., ac] ** 2).mean())
         wv = float((want[..., ac] ** 2).mean())
+        # true retained-signal fraction: error is not orthogonal to signal,
+        # so 1 - E/W is NOT "variance retained" (ADVICE round-4); report the
+        # signal-aligned component cov(got, want)/var(want) instead
+        g, w_ = got[..., ac].ravel(), want[..., ac].ravel()
+        align = float((g * w_).mean() / max((w_ * w_).mean(), 1e-12))
         results[f"k{k}_{fmt}"] = {
             "ac_rel_rms": round(float(np.sqrt(ev / wv)), 4),
-            "ac_var_retained": round(1.0 - ev / wv, 4),
+            "ac_err_energy_complement": round(1.0 - ev / wv, 4),
+            "ac_signal_alignment": round(align, 4),
             "dc_max_err": round(float(np.abs(err[..., 0, 0]).max()), 2),
         }
         print(f"k={k} fmt={fmt}: {results[f'k{k}_{fmt}']}")
