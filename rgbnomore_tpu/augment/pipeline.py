@@ -29,6 +29,7 @@ __all__ = [
     "unpack_coefficients",
     "unpack_coefficients_mask",
     "unpack_fields",
+    "unpack_cropped",
     "make_packed_rgb_decode",
     "to_range",
     "make_train_pipeline",
@@ -115,9 +116,23 @@ def unpack_fields(f: dict, fmt: str):
     unpack = unpack_coefficients if fmt == "index" else unpack_coefficients_mask
     y = unpack(f["vy"], f["iy"], f["sy"])
     c = unpack(f["vc"], f["ic"], f["sc"])
-    if fmt in ("mask16", "mask16w"):  # exact int16 DC rides in its own plane
+    if fmt in ("mask16", "mask16w", "mask16q"):  # exact int16 DC plane
         y = y.at[..., 0, 0].set(f["dy"].astype(jnp.float32))
         c = c.at[..., 0, 0].set(f["dc"].astype(jnp.float32))
+    return y, c
+
+
+def unpack_cropped(f: dict, fmt: str):
+    """Unpack a crop-before-pack wire to DEQUANTIZED coefficients.
+
+    ``mask16``/``mask16w`` carry dequantized values directly; ``mask16q``
+    carries JPEG quantized-unit integers (host ``requant_plane``) and is
+    multiplied back by the per-sample quant table here — the same on-device
+    dequantize (+ reference clamp) the full-canvas packed path uses.
+    """
+    y, c = unpack_fields(f, fmt)
+    if fmt == "mask16q":
+        y, c = dequantize(y, c, f["quant"])
     return y, c
 
 
@@ -369,7 +384,7 @@ def make_cropped_train_pipeline(
         def pipeline(rng, packed_buf):
             k_flip, k_aug = jax.random.split(rng)
             f = split_packed_batch(packed_buf, target, k, fmt)
-            y, c = unpack_fields(f, fmt)
+            y, c = unpack_cropped(f, fmt)
             flip = jax.random.bernoulli(k_flip, 0.5, (y.shape[0],))
             policy = aug.draw_policy(k_aug, y.shape[0], y.shape[2], y.shape[3])
             y, c = fused_flip_aug_range(
@@ -384,7 +399,7 @@ def make_cropped_train_pipeline(
     def pipeline(rng, packed_buf):
         k_flip, k_aug = jax.random.split(rng)
         f = split_packed_batch(packed_buf, target, k, fmt)
-        y, c = unpack_fields(f, fmt)  # already-dequantized floats
+        y, c = unpack_cropped(f, fmt)  # dequantized floats
         y, c = random_flip(k_flip, y, c)
         y, c = aug(k_aug, y, c)
         return (to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype),
@@ -409,7 +424,7 @@ def make_cropped_eval_pipeline(
 
     def pipeline(packed_buf):
         f = split_packed_batch(packed_buf, target, k, fmt)
-        y, c = unpack_fields(f, fmt)
+        y, c = unpack_cropped(f, fmt)
         return (to_range(y, dtype=out_dtype), to_range(c, dtype=out_dtype),
                 f["labels"], f["weights"])
 

@@ -191,6 +191,7 @@ def read_crop_resize_pack(
     scale: tuple[float, float] = (0.05, 1.0),
     ratio: float = 1.0,
     wide: bool = False,
+    requant: bool = False,
 ):
     """Decode + host-side crop/resize to the target grid + mask16 pack.
 
@@ -208,13 +209,17 @@ def read_crop_resize_pack(
     ``uniforms``: float64 (12,) — 10 area draws + 2 offset draws (mode 0
     only).  ``ratio``: crop/resize ratio for mode 1 (e.g. 28/32).  ``wide``
     selects the int16-AC ``mask16w`` wire (``vy``/``vc`` must be int16).
+    ``requant`` selects the ``mask16q`` wire: the resized plane is rounded
+    back to JPEG integer units (v -> round(v/q)) BEFORE top-K, so selection
+    ranks in the same quantized domain as the full-canvas packed wire and the
+    device must multiply the quant table back (``augment.pipeline``).
     Returns ``(ncomp, yh, yw, ch, cw, bi, bj, bh, bw)`` with the sampled box.
     """
     return _dctcodec.read_crop_resize_pack(
         str(path), k, mode, pack.t_y, pack.t_c, pack.max_src,
         np.ascontiguousarray(uniforms, np.float64), float(scale[0]),
         float(scale[1]), float(ratio), pack.evens, pack.spec, pack.data,
-        vy, my, sy, dy, vc, mc, sc, dc, quant_out, int(wide),
+        vy, my, sy, dy, vc, mc, sc, dc, quant_out, int(wide), int(requant),
     )
 
 
@@ -241,17 +246,20 @@ def read_crop_resize_pack_row(
     scale: tuple[float, float] = (0.05, 1.0),
     ratio: float = 1.0,
     wide: bool = False,
+    requant: bool = False,
 ):
     """Loader hot-path variant of :func:`read_crop_resize_pack`: writes every
     per-sample field (including label/weight) into ONE consolidated uint8 row
     buffer, so the Python worker makes a single call with no per-image numpy
     views.  ``offsets`` from :func:`crop_row_offsets`.  ``wide`` selects the
-    int16-AC ``mask16w`` wire (offsets must come from a mask16w layout)."""
+    int16-AC ``mask16w`` wire (offsets must come from a mask16w layout);
+    ``requant`` the quantized-unit ``mask16q`` wire (see
+    :func:`read_crop_resize_pack`)."""
     return _dctcodec.read_crop_resize_pack_row(
         str(path), k, mode, pack.t_y, pack.t_c, pack.max_src,
         uniforms, float(scale[0]), float(scale[1]), float(ratio),
         pack.evens, pack.spec, pack.data, row, offsets, int(label),
-        float(weight), int(wide),
+        float(weight), int(wide), int(requant),
     )
 
 

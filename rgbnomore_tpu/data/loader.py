@@ -236,8 +236,13 @@ def packed_layout(canvas: int, k: int, fmt: str = "mask", geom: bool = False) ->
     ``fmt="mask16w"``: mask16 with int16 AC values (scale pinned 1) — exact
     for identity crops, +-0.5 dequant units otherwise, 2K+11 B/block.  Meant
     for eval wires where the top-1 budget outranks bytes (KSWEEP.json).
+    ``fmt="mask16q"``: byte-identical layout to ``mask16`` but the values are
+    JPEG *quantized-unit* integers (host requantizes the resized plane, the
+    device multiplies the quant table back) — top-K then ranks in the same
+    perceptual domain as the full-canvas packed wire and drops sub-half-quant
+    resize/noise residue (DCT-domain train default; see CROPBISECT.json).
     """
-    assert fmt in ("mask", "index", "mask16", "mask16w"), fmt
+    assert fmt in ("mask", "index", "mask16", "mask16w", "mask16q"), fmt
     cv2 = canvas // 2
     iw = k if fmt == "index" else 8  # index/mask bytes per block
     vdt = np.int16 if fmt == "mask16w" else np.int8
@@ -252,7 +257,7 @@ def packed_layout(canvas: int, k: int, fmt: str = "mask", geom: bool = False) ->
         "labels": ((), np.int32),
         "weights": ((), np.float32),
     }
-    if fmt in ("mask16", "mask16w"):
+    if fmt in ("mask16", "mask16w", "mask16q"):
         fields["dy"] = ((1, canvas, canvas), np.int16)
         fields["dc"] = ((2, cv2, cv2), np.int16)
     if geom:
@@ -363,11 +368,12 @@ class DctCroppedLoader(_BaseLoader):
         from rgbnomore_tpu.data.croppack import build_op_pack
 
         assert mode in ("train", "center", "full"), mode
-        assert fmt in ("mask16", "mask16w"), fmt
+        assert fmt in ("mask16", "mask16w", "mask16q"), fmt
         self.target = target
         self.k = k
         self.fmt = fmt
         self.wide = fmt == "mask16w"
+        self.requant = fmt == "mask16q"
         self.mode = mode
         self.mode_int = {"train": codec.CROP_RANDOM, "center": codec.CROP_CENTER,
                          "full": codec.CROP_FULL}[mode]
@@ -401,6 +407,7 @@ class DctCroppedLoader(_BaseLoader):
                 path, self.k, self.mode_int, uniforms[slot], self.pack,
                 buf[slot], self._offsets, label, 1.0,
                 scale=self.scale, ratio=self.center_ratio, wide=self.wide,
+                requant=self.requant,
             )
             _check_chroma_grid(path, ncomp, yh, yw, ch, cw)
             labels[slot] = label

@@ -1114,6 +1114,23 @@ void apply_cols(const OpEntry& op, const float* tmp, long t8_rows, float* out,
   }
 }
 
+// Requantize a resized (t*8, t*8) dequantized f32 plane back to JPEG
+// integer units: v -> round(v / q[u, v]) per coefficient position.  This is
+// the "mask16q" wire's denoise/selection domain — the SAME domain the full-
+// canvas packed wire ranks in (libjpeg's stored quantized coefficients), so
+// top-K keeps the perceptually significant coefficients and sub-half-quant
+// resize residue rounds away.  The device multiplies the quant table back
+// (augment.pipeline.dequantize), exactly like the packed path.
+void requant_plane(float* plane, int t, const int16_t* q) {
+  const long t8 = static_cast<long>(t) * kDct;
+  for (long r = 0; r < t8; ++r) {
+    float* row = plane + r * t8;
+    const int16_t* qrow = q + (r & 7) * kDct;
+    for (long c = 0; c < t8; ++c)
+      row[c] = std::nearbyint(row[c] / static_cast<float>(qrow[c & 7]));
+  }
+}
+
 // Pack a resized (t*8, t*8) f32 plane into mask16 wire fields on a t x t
 // grid.  `wide` selects the int16-value wire (`values` is then int16 bytes).
 void pack_plane_mask16(const float* plane, int t, int k, int8_t* values,
@@ -1370,7 +1387,7 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
                     int n_evens, const int32_t* spec, size_t n_spec,
                     const float* opdata, size_t n_opdata, const CropPackPtrs& o,
                     CoeffInfo* info, long box[4], std::string* msg,
-                    bool wide = false) {
+                    bool wide = false, bool requant = false) {
   const size_t yblk = static_cast<size_t>(t_y) * t_y;
   const size_t cblk = 2 * static_cast<size_t>(t_c) * t_c;
   const size_t vsz = wide ? 2 : 1;  // value bytes (int16 wide / int8)
@@ -1481,6 +1498,8 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
         tp0 = prof_now();
         g_prof.extract_resize.fetch_add(tp0 - te0, std::memory_order_relaxed);
       }
+      if (requant)  // plane aliases the mutable win/out scratch
+        requant_plane(const_cast<float*>(plane), t_y, o.quant);
       pack_plane_mask16(plane, t_y, k, o.vy, o.my, o.sy, o.dy, wide);
       if (prof)
         g_prof.pack.fetch_add(prof_now() - tp0, std::memory_order_relaxed);
@@ -1518,6 +1537,8 @@ bool crop_pack_core(const char* path, int k, CropMode mode, int t_y, int t_c,
           }
           const size_t plane_n = static_cast<size_t>(t_c) * t_c;
           const size_t po = (comp - 1) * plane_n;
+          if (requant)
+            requant_plane(const_cast<float*>(cplane), t_c, o.quant + comp * kDct2);
           pack_plane_mask16(cplane, t_c, k, o.vc + po * k * vsz, o.mc + po * 8,
                             o.sc + po, o.dc + po, wide);
           if (prof)
@@ -1819,13 +1840,13 @@ bool rgb_crop_pack_core(const char* path, int k, int t, RgbCropMode mode,
 PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
   const char* path;
   int k, mode, t_y, t_c, max_src;
-  int wide = 0;
+  int wide = 0, requant = 0;
   double scale_lo, scale_hi, ratio;
   Py_buffer ub, eb, sb, db, vy, my, sy, dy, vc, mc, sc, dcc, qb;
-  if (!PyArg_ParseTuple(args, "siiiiiw*dddw*w*w*w*w*w*w*w*w*w*w*w*|i", &path,
+  if (!PyArg_ParseTuple(args, "siiiiiw*dddw*w*w*w*w*w*w*w*w*w*w*w*|ii", &path,
                         &k, &mode, &t_y, &t_c, &max_src, &ub, &scale_lo,
                         &scale_hi, &ratio, &eb, &sb, &db, &vy, &my, &sy, &dy,
-                        &vc, &mc, &sc, &dcc, &qb, &wide))
+                        &vc, &mc, &sc, &dcc, &qb, &wide, &requant))
     return nullptr;
 
   std::vector<Py_buffer*> bufs = {&ub, &eb, &sb, &db, &vy, &my, &sy,
@@ -1868,7 +1889,7 @@ PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
                       ratio, static_cast<const int32_t*>(eb.buf), n_evens,
                       static_cast<const int32_t*>(sb.buf), n_spec,
                       static_cast<const float*>(db.buf), db.len / sizeof(float),
-                      o, &info, box, &msg, wide != 0);
+                      o, &info, box, &msg, wide != 0, requant != 0);
   Py_END_ALLOW_THREADS;
 
   for (auto* b : bufs) PyBuffer_Release(b);
@@ -1892,13 +1913,14 @@ PyObject* py_read_crop_resize_pack(PyObject*, PyObject* args) {
 PyObject* py_read_crop_resize_pack_row(PyObject*, PyObject* args) {
   const char* path;
   int k, mode, t_y, t_c, max_src;
-  int wide = 0;
+  int wide = 0, requant = 0;
   double scale_lo, scale_hi, ratio, weight;
   long label;
   Py_buffer ub, eb, sb, db, rb, ob;
-  if (!PyArg_ParseTuple(args, "siiiiiw*dddw*w*w*w*w*ld|i", &path, &k, &mode,
+  if (!PyArg_ParseTuple(args, "siiiiiw*dddw*w*w*w*w*ld|ii", &path, &k, &mode,
                         &t_y, &t_c, &max_src, &ub, &scale_lo, &scale_hi, &ratio,
-                        &eb, &sb, &db, &rb, &ob, &label, &weight, &wide))
+                        &eb, &sb, &db, &rb, &ob, &label, &weight, &wide,
+                        &requant))
     return nullptr;
 
   std::vector<Py_buffer*> bufs = {&ub, &eb, &sb, &db, &rb, &ob};
@@ -1942,7 +1964,7 @@ PyObject* py_read_crop_resize_pack_row(PyObject*, PyObject* args) {
                       ratio, static_cast<const int32_t*>(eb.buf), n_evens,
                       static_cast<const int32_t*>(sb.buf), n_spec,
                       static_cast<const float*>(db.buf), db.len / sizeof(float),
-                      o, &info, box, &msg, wide != 0);
+                      o, &info, box, &msg, wide != 0, requant != 0);
   if (ok) {
     int32_t lab = static_cast<int32_t>(label);
     float w = static_cast<float>(weight);

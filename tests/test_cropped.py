@@ -115,6 +115,49 @@ def test_deterministic_modes_match_oracle(tmp_path, mode, ratio):
         assert np.abs(got_c[comp] - want_c).max() <= float(v["sc"].max()) / 2 + 1.0
 
 
+def test_mask16q_matches_packed_wire_on_identity_crop(tmp_path):
+    """The quantized-unit mask16q wire must reproduce the full-canvas packed
+    wire's content (same selection domain, same device dequantize) when the
+    center crop is an identity resize — the packed wire is the trainability
+    oracle (CROPBISECT.json: packed learns, dequantized-domain mask16 does
+    not at the depth-12 proxy)."""
+    from rgbnomore_tpu.augment.pipeline import (
+        make_cropped_eval_pipeline,
+        make_eval_pipeline,
+    )
+    from rgbnomore_tpu.data.index import IndexDataset
+    from rgbnomore_tpu.data.loader import DctCroppedLoader, DctPackedLoader
+    from rgbnomore_tpu.train.config import generate_config
+
+    paths = [str(_write_jpeg(tmp_path / f"m{i}.jpg", 256, 256, seed=10 + i))
+             for i in range(4)]
+    ds = IndexDataset(np.asarray(paths, object), np.arange(4, dtype=np.int32))
+    cfg = generate_config("vitti", "dct", modelver=1)
+
+    cl = DctCroppedLoader(ds, 4, target=28, k=16, mode="center", max_src=32,
+                          fmt="mask16q", shuffle=False, seed=0, num_threads=2)
+    cq = next(iter(cl))
+    yq, _cq, lq, wq = jax.jit(make_cropped_eval_pipeline(
+        cfg, k=16, fmt="mask16q"))(cq["packed"])
+
+    pl = DctPackedLoader(ds, 4, canvas=32, k=16, fmt="mask", shuffle=False,
+                         seed=0, num_threads=2)
+    pb = next(iter(pl))
+    yp, _cp, lp, wp = jax.jit(make_eval_pipeline(
+        cfg, canvas=32, packed=True, packed_fmt="mask", packed_k=16))(pb["packed"])
+
+    assert np.array_equal(np.asarray(lq), np.asarray(lp))
+    yq, yp = np.asarray(yq), np.asarray(yp)
+    rel = np.sqrt(((yq - yp) ** 2).mean()) / np.sqrt((yp ** 2).mean())
+    # identical box + identical quant domain; residue is only the K-budget
+    # split (mask16q reserves DC outside K, packed lets DC compete) + int8
+    # scale rounding.  The dequantized mask16 wire measures ~0.67 here.
+    assert rel < 0.1, f"mask16q diverges from the packed wire: rel rms {rel}"
+    # DC: mask16q carries it exactly (dedicated int16 plane) while packed
+    # int8-quantizes it with the block scale — agree to the int8 half-step
+    np.testing.assert_allclose(yq[..., 0, 0], yp[..., 0, 0], atol=0.05)
+
+
 def test_random_mode_matches_oracle(tmp_path):
     path = _write_jpeg(tmp_path / "b.jpg", 512, 512, seed=2)
     rng = np.random.default_rng(3)

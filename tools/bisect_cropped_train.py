@@ -48,6 +48,12 @@ ARMS = {
     "dense": dict(transfer="dense", packed_k=None, aug=True),
     "crop_k8": dict(transfer="cropped", packed_k=8, aug=True),
     "pack_k63": dict(transfer="packed", packed_k=63, aug=True),
+    # mask16q: host requantizes the resized plane to JPEG integer units
+    # before top-K — selection/denoise equivalent to the packed wire at the
+    # cropped wire's bytes (round-5; the candidate default-train fix)
+    "crop_q16": dict(transfer="cropped", packed_k=16, aug=True, fmt="mask16q"),
+    "crop_q16_noaug": dict(transfer="cropped", packed_k=16, aug=False,
+                           fmt="mask16q"),
 }
 
 
@@ -66,6 +72,10 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # a silent CPU fallback (e.g. an env without the relay's variables)
+    # burns an hour producing an arm measured on the wrong backend
+    assert jax.default_backend() != "cpu", (
+        f"bisect arms are TPU measurements; backend={jax.default_backend()}")
 
     from tools.validate_recipe import N_IMAGES, make_dataset
 

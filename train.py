@@ -71,6 +71,12 @@ def parse_args():
                         "mask16 (int8 ACs, default) or mask16w (int16 ACs — "
                         "exact for identity crops, for coefficient ranges "
                         "beyond the int8 wire)")
+    p.add_argument("--train_fmt", type=str, default="",
+                   choices=("", "mask16", "mask16w", "mask16q"),
+                   help="TRAIN wire value format for the cropped DCT transfer: "
+                        "mask16 (dequantized, int8 ACs), mask16w (int16 ACs), "
+                        "mask16q (JPEG quantized-unit ints, packed-wire-"
+                        "equivalent selection/denoise)")
     # multi-host (DCN) rendezvous — the reference's TCP/NCCL rendezvous
     # (pipeline_utils.py:78-88) equivalent; single-host runs leave it unset
     p.add_argument("--coordinator", type=str, default="",
@@ -192,6 +198,7 @@ def main():
             packed_k=args.packed_k or None,
             packed_k_eval=args.packed_k_eval or None,
             eval_fmt=args.eval_fmt or None,
+            train_fmt=args.train_fmt or None,
             ckpt_every=args.ckpt_every,
         )
 
