@@ -54,6 +54,18 @@ ARMS = {
     "crop_q16": dict(transfer="cropped", packed_k=16, aug=True, fmt="mask16q"),
     "crop_q16_noaug": dict(transfer="cropped", packed_k=16, aug=False,
                            fmt="mask16q"),
+    # FRESH packed replica of dct-nomix: the 0.3983 "packed learns" control
+    # in RECIPE_PROXY resumed from a pre-init-change checkpoint dir (its
+    # val_acc row never moved), so it does not prove the CURRENT default
+    # init takes off at this depth/lr/horizon — this arm does (round-5)
+    "pack_aug": dict(transfer="packed", packed_k=16, aug=True),
+    # batch-scaled peak lr (3e-3 * 128/1024): the preset lr belongs to global
+    # batch 1024 (reference configs.py:24); at batch 128 the unscaled peak is
+    # 8x the recipe's per-example rate, which the torch-family init (round-4
+    # default, ~250-step later escape at depth 4) may not survive at depth 12
+    "crop_q16_lr375": dict(transfer="cropped", packed_k=16, aug=True,
+                           fmt="mask16q", lr=3.75e-4),
+    "pack_lr375": dict(transfer="packed", packed_k=16, aug=True, lr=3.75e-4),
 }
 
 
@@ -66,6 +78,8 @@ def main() -> None:
     ap.add_argument("--arm", required=True, choices=sorted(ARMS))
     ap.add_argument("--steps", type=int, default=1100)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--tag", default="", help="suffix for the result key and "
+                    "workdir (e.g. a longer-horizon rerun of the same arm)")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +103,8 @@ def main() -> None:
     cfg.model.classes = CLASSES
     cfg.model.mixup = False
     cfg.train.batch_size = args.batch
+    if spec.get("lr"):
+        cfg.train.lr = spec["lr"]
     steps_per_epoch = (N_IMAGES * 9 // 10) * 99 // 100 // args.batch
     cfg.train.epochs = max(1, args.steps // steps_per_epoch)
     cfg.train.warmup = min(300, args.steps // 3)
@@ -96,7 +112,8 @@ def main() -> None:
         cfg.train.auglist = []
         cfg.train.num_ops = 0
 
-    workdir = Path(f"/tmp/cropbisect_{args.arm}")
+    key = args.arm + (f"_{args.tag}" if args.tag else "")
+    workdir = Path(f"/tmp/cropbisect_{key}")
     workdir.mkdir(parents=True, exist_ok=True)
     ckpt = workdir / "checkpoints" / "vitti_dct"
     res = train_and_eval(
@@ -116,7 +133,7 @@ def main() -> None:
         "test_loss": round(res["test"]["loss"], 4),
     }
     results = json.loads(OUT.read_text()) if OUT.exists() else {}
-    results[args.arm] = row
+    results[key] = row
     OUT.write_text(json.dumps(results, indent=1))
     print(json.dumps(row, indent=1))
 
