@@ -402,13 +402,18 @@ class Trainer:
         # absent from a tiny minival (CROPBISECT val_acc 0.0 = argmax
         # constantly class 1, absent from the 54-example proxy minival).
         # merge_eval_metrics clamps count to >= 1 for the division, so check
-        # the raw weighted count here.
+        # the raw weighted count here.  A 0-BATCH loader is a legitimately
+        # empty split at tiny corpus scale (split=1% of a handful of files,
+        # like the reference's random_split) — warn and report zeros; real
+        # batches whose weights ALL unpacked to zero is a wiring bug — raise.
         raw_count = sum(float(s["count"]) for s in sums)
-        if not sums or raw_count <= 0:
+        if sums and raw_count <= 0:
             raise RuntimeError(
-                f"evaluation saw no weighted examples ({len(sums)} batches); "
-                "check the split/loader wiring"
+                f"evaluation saw no weighted examples across {len(sums)} "
+                "batches; check the split/loader wiring"
             )
+        if not sums:
+            log.warning("evaluate: empty loader (0 batches) — reporting zeros")
         return out
 
 
