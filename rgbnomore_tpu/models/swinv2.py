@@ -95,6 +95,13 @@ class WindowAttention(nn.Module):
     # one MXU tile, recovering the 128-lane padding the 64-token/32-dim swin
     # shapes otherwise waste.  Requires an even window count per image.
     use_fused_kernel: bool = False
+    # XLA-level pair packing: reshape two consecutive windows into one
+    # 2n-token block-diagonal attention (cross terms masked -1e9) so the
+    # QK^T / AV matmuls run at a full 128-lane MXU tile instead of padded
+    # 64x32 tiles.  2x the attention FLOPs for ~4x better tile utilization;
+    # unlike the Pallas kernel it keeps XLA's fused softmax and autodiff
+    # (no bias-gradient HBM rewrites).  Same even-window requirement.
+    use_paired_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: np.ndarray | None, deterministic: bool = True) -> jax.Array:
@@ -170,6 +177,33 @@ class WindowAttention(nn.Module):
             vs = jnp.transpose(v.astype(jnp.float32), (0, 2, 1, 3))
             out = fused_window_attention(qs, ks, vs, bias2)
             out = jnp.transpose(out, (0, 2, 1, 3)).astype(self.dtype)
+        elif (
+            self.use_paired_attention
+            and bw % 2 == 0
+            and (mask is None or (nw % 2 == 0 and bw % nw == 0))
+        ):
+            # block-diagonal pair packing: windows (2i, 2i+1) share one
+            # (2n, 2n) logits tile; -1e9 cross blocks reproduce the two
+            # per-window softmaxes exactly (exp underflows to 0)
+            if mask is None:
+                pairs = jnp.stack([bias_hnn, bias_hnn])[None]  # (1, 2, H, n, n)
+            else:
+                per_w = bias_hnn[None] + jnp.asarray(mask)[:, None]  # (nw, H, n, n)
+                pairs = per_w.reshape(nw // 2, 2, self.num_heads, n, n)
+            npat = pairs.shape[0]
+            big = jnp.full((npat, self.num_heads, 2 * n, 2 * n), -1e9, jnp.float32)
+            big = big.at[:, :, :n, :n].set(pairs[:, 0])
+            big = big.at[:, :, n:, n:].set(pairs[:, 1])
+            q2 = q.reshape(bw // 2, 2 * n, self.num_heads, head_dim)
+            k2 = k.reshape(bw // 2, 2 * n, self.num_heads, head_dim)
+            v2 = v.reshape(bw // 2, 2 * n, self.num_heads, head_dim)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q2, k2).astype(jnp.float32)
+            attn = attn * scale
+            attn = attn.reshape(bw // 2 // npat, npat, self.num_heads, 2 * n, 2 * n)
+            attn = (attn + big[None]).reshape(bw // 2, self.num_heads, 2 * n, 2 * n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v2)
+            out = out.reshape(bw, n, self.num_heads, head_dim)
         else:
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
             attn = attn * scale
@@ -213,6 +247,7 @@ class SwinBlock(nn.Module):
     pretrained_window_size: int = 0
     dtype: jnp.dtype = jnp.float32
     use_fused_attention: bool = False
+    use_paired_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -230,7 +265,8 @@ class SwinBlock(nn.Module):
         mask = _shift_attn_mask(h, w, ws, shift) if shift > 0 else None
         attn_windows = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias, self.pretrained_window_size,
-            dtype=self.dtype, use_fused_kernel=self.use_fused_attention, name="attn",
+            dtype=self.dtype, use_fused_kernel=self.use_fused_attention,
+            use_paired_attention=self.use_paired_attention, name="attn",
         )(windows, mask, deterministic)
         x = window_reverse(attn_windows, ws, h, w)
         if shift > 0:
@@ -305,6 +341,7 @@ class SwinTransformerV2(nn.Module):
     pixel_space: str = "rgb"
     dtype: jnp.dtype = jnp.float32
     use_fused_attention: bool = False  # pair-packed Pallas window kernel (TPU)
+    use_paired_attention: bool = False  # XLA block-diagonal window pairing
 
     @nn.compact
     def __call__(self, x: jax.Array, cbcr: jax.Array | None = None, train: bool = False) -> jax.Array:
@@ -366,6 +403,7 @@ class SwinTransformerV2(nn.Module):
                     pretrained_window_size=self.pretrained_window_sizes[i_layer],
                     dtype=self.dtype,
                     use_fused_attention=self.use_fused_attention,
+                    use_paired_attention=self.use_paired_attention,
                     name=f"layer{i_layer}_block{d}",
                 )(feats, deterministic)
                 block_idx += 1

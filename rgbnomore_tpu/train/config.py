@@ -52,6 +52,10 @@ class ModelConfig:
     ape: bool = False
     patch_norm: bool = True
     pretrained_window_sizes: Sequence[int] = (0, 0, 0, 0)
+    # swin: XLA block-diagonal window pairing (two 64-token windows share one
+    # 128-lane MXU logits tile); bit-exact vs the plain path, A/B'd in
+    # SWIN_PROFILE.json before becoming a default
+    paired_attention: bool = False
     # input geometry (blocks for DCT, pixels for RGB) filled by update_config
     input_size: int = 224
     dct_blocks: int = 28
@@ -310,6 +314,7 @@ def build_model(cfg: Config, dtype=None):
             pretrained_window_sizes=tuple(cfg.model.pretrained_window_sizes),
             pixel_space=cfg.model.domain.lower(),
             dtype=dtype,
+            use_paired_attention=cfg.model.paired_attention,
         )
     return ViT(
         patch_size=cfg.model.patch_size,

@@ -208,3 +208,29 @@ def test_bias_init_matches_torch_distribution(rng):
             assert np.std(bias) > 0.4 * bound / np.sqrt(3), path
             checks += 1
     assert checks >= 3  # qkv/mlp1/mlp2/projection at least
+
+
+def test_swin_paired_attention_bit_exact():
+    """The XLA block-diagonal window pairing (use_paired_attention) must be
+    bit-exact vs the plain einsum path: exp(-1e9) cross-window terms underflow
+    to exactly 0, so the two per-window softmaxes are reproduced unchanged —
+    forward AND gradients (it is a pure reshape of the same matmuls)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rgbnomore_tpu.models.swinv2 import SwinTransformerV2
+
+    kw = dict(img_size=64, num_classes=7, embed_dim=24, depths=(2, 2),
+              num_heads=(3, 6), window_size=8, drop_path_rate=0.0,
+              pixel_space="rgb")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 64, 64))
+    m0 = SwinTransformerV2(**kw, use_paired_attention=False)
+    m1 = SwinTransformerV2(**kw, use_paired_attention=True)
+    params = m0.init({"params": jax.random.PRNGKey(1)}, x, train=False)["params"]
+    y0 = m0.apply({"params": params}, x, train=False)
+    y1 = m1.apply({"params": params}, x, train=False)
+    assert float(jnp.abs(y0 - y1).max()) == 0.0
+    g0 = jax.grad(lambda p: m0.apply({"params": p}, x, train=False).sum())(params)
+    g1 = jax.grad(lambda p: m1.apply({"params": p}, x, train=False).sum())(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert float(jnp.abs(a - b).max()) == 0.0

@@ -277,6 +277,18 @@ def main() -> None:
             results["variants"][mode] = round(ms_v, 2)
             print(f"{mode}: {ms_v:.2f} ms", flush=True)
 
+        # XLA block-diagonal window pairing (models/swinv2.py
+        # use_paired_attention; bit-exact vs baseline — tested on CPU)
+        import copy
+
+        cfg_p = copy.deepcopy(cfg)
+        cfg_p.model.paired_attention = True
+        m = build_model(cfg_p)
+        st, stp, bt, bs = build_step_with_model(cfg_p, args.batch, m)
+        ms_v = time_step(st, stp, bt, bs, args.iters)
+        results["variants"]["paired_attention"] = round(ms_v, 2)
+        print(f"paired_attention: {ms_v:.2f} ms", flush=True)
+
     # --- trace the baseline ------------------------------------------------
     if not args.skip_trace and not args.variants:
         logdir = "/tmp/swin_trace"
