@@ -66,6 +66,9 @@ ARMS = {
     "crop_q16_lr375": dict(transfer="cropped", packed_k=16, aug=True,
                            fmt="mask16q", lr=3.75e-4),
     "pack_lr375": dict(transfer="packed", packed_k=16, aug=True, lr=3.75e-4),
+    # the SHIPPED default wire exactly as train.py configures it (cropped
+    # mask16, K=16, aug on) — the arm the takeoff-horizon reruns use
+    "crop_aug": dict(transfer="cropped", packed_k=16, aug=True),
 }
 
 
@@ -80,6 +83,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--tag", default="", help="suffix for the result key and "
                     "workdir (e.g. a longer-horizon rerun of the same arm)")
+    ap.add_argument("--warmup", type=int, default=0, help="override warmup "
+                    "steps (0 = the proxy default min(300, steps//3); the "
+                    "torch-family init needs longer warmup at depth 12 than "
+                    "the zero-bias init the 300-step default was tuned on)")
     args = ap.parse_args()
 
     import jax
@@ -107,7 +114,7 @@ def main() -> None:
         cfg.train.lr = spec["lr"]
     steps_per_epoch = (N_IMAGES * 9 // 10) * 99 // 100 // args.batch
     cfg.train.epochs = max(1, args.steps // steps_per_epoch)
-    cfg.train.warmup = min(300, args.steps // 3)
+    cfg.train.warmup = args.warmup or min(300, args.steps // 3)
     if not spec["aug"]:
         cfg.train.auglist = []
         cfg.train.num_ops = 0
@@ -127,7 +134,7 @@ def main() -> None:
     row = {
         **{k: v for k, v in spec.items()},
         "steps": args.steps, "batch": args.batch,
-        "epochs": cfg.train.epochs,
+        "epochs": cfg.train.epochs, "warmup": cfg.train.warmup,
         "val_acc": round(res["val"]["accuracy"], 4),
         "test_acc": round(res["test"]["accuracy"], 4),
         "test_loss": round(res["test"]["loss"], 4),
