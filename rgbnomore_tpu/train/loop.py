@@ -394,27 +394,34 @@ class Trainer:
         sums = []
         for batch in loader:
             sums.append(eval_step(self.state.params, self.put_batch(batch)))
-        out = merge_eval_metrics(sums)
-        # a silently-empty eval (all-zero weights / empty split) would report
-        # accuracy 0.0 and masquerade as a training failure — fail loudly
-        # instead (round-5; the dryrun asserts the same).  NOTE the genuine
-        # exactly-0.0 case exists: a constant-class predictor whose class is
-        # absent from a tiny minival (CROPBISECT val_acc 0.0 = argmax
-        # constantly class 1, absent from the 54-example proxy minival).
-        # merge_eval_metrics clamps count to >= 1 for the division, so check
-        # the raw weighted count here.  A 0-BATCH loader is a legitimately
-        # empty split at tiny corpus scale (split=1% of a handful of files,
-        # like the reference's random_split) — warn and report zeros; real
-        # batches whose weights ALL unpacked to zero is a wiring bug — raise.
-        raw_count = sum(float(s["count"]) for s in sums)
-        if sums and raw_count <= 0:
-            raise RuntimeError(
-                f"evaluation saw no weighted examples across {len(sums)} "
-                "batches; check the split/loader wiring"
-            )
-        if not sums:
-            log.warning("evaluate: empty loader (0 batches) — reporting zeros")
-        return out
+        return guard_eval_sums(sums)
+
+
+def guard_eval_sums(sums: list) -> dict:
+    """Merge per-batch eval sums, failing loudly on a silently-empty eval.
+
+    A silently-empty eval (all-zero weights / empty split) would report
+    accuracy 0.0 and masquerade as a training failure (round-5; the dryrun
+    asserts the same).  NOTE the genuine exactly-0.0 case exists: a
+    constant-class predictor whose class is absent from a tiny minival
+    (CROPBISECT val_acc 0.0 = argmax constantly class 1, absent from the
+    54-example proxy minival).  merge_eval_metrics clamps count to >= 1 for
+    the division, so check the raw weighted count here.  A 0-BATCH loader is
+    a legitimately empty split at tiny corpus scale (split=1% of a handful
+    of files, like the reference's ``random_split``) — warn and report
+    zeros; real batches whose weights ALL unpacked to zero is a wiring bug
+    — raise.
+    """
+    out = merge_eval_metrics(sums)
+    raw_count = sum(float(s["count"]) for s in sums)
+    if sums and raw_count <= 0:
+        raise RuntimeError(
+            f"evaluation saw no weighted examples across {len(sums)} "
+            "batches; check the split/loader wiring"
+        )
+    if not sums:
+        log.warning("evaluate: empty loader (0 batches) — reporting zeros")
+    return out
 
 
 def make_loaders(cfg: Config, index_train: str, index_val: str, *, canvas: int = 64,

@@ -172,6 +172,27 @@ def test_eval_step_weights_exclude_padding(rng):
     assert 0.0 <= m["accuracy"] <= 1.0 and m["count"] == 7.0
 
 
+def test_eval_guard_flags_zero_weight_batches():
+    """A silently-empty eval must fail loudly (round-5 val_acc-0.0 follow-up):
+    real batches whose weights all unpacked to zero is a wiring bug -> raise;
+    a 0-batch loader is a legitimately empty tiny-scale split -> warn+zeros;
+    a genuinely weighted eval passes through merge_eval_metrics unchanged."""
+    from rgbnomore_tpu.train.loop import guard_eval_sums
+
+    ok = [{"correct": jnp.asarray(2.0), "loss_sum": jnp.asarray(3.0),
+           "count": jnp.asarray(4.0)}]
+    m = guard_eval_sums(ok)
+    assert m["accuracy"] == 0.5 and m["count"] == 4.0
+
+    empty = guard_eval_sums([])  # warn, not raise (count clamps to 1 for /)
+    assert empty["accuracy"] == 0.0 and empty["loss"] == 0.0
+
+    zeroed = [{"correct": jnp.asarray(0.0), "loss_sum": jnp.asarray(0.0),
+               "count": jnp.asarray(0.0)}] * 3
+    with pytest.raises(RuntimeError, match="no weighted examples"):
+        guard_eval_sums(zeroed)
+
+
 def test_train_step_multidevice_mesh(rng):
     """The full train step must compile and run on an 8-device CPU mesh with
     batch sharded on 'data' and state replicated."""
