@@ -45,6 +45,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1100)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="override warmup steps (0 = min(300, steps//3))")
+    ap.add_argument("--f32-from", default="",
+                    help="reuse a recorded CROPBISECT.json arm as the f32 "
+                    "side (must match steps/batch/warmup and the cropped "
+                    "K=16 aug-on wire this tool trains) instead of "
+                    "retraining it")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +74,7 @@ def main() -> None:
         cfg.train.batch_size = args.batch
         steps_per_epoch = (N_IMAGES * 9 // 10) * 99 // 100 // args.batch
         cfg.train.epochs = max(1, args.steps // steps_per_epoch)
-        cfg.train.warmup = min(300, args.steps // 3)
+        cfg.train.warmup = args.warmup or min(300, args.steps // 3)
         workdir = Path(f"/tmp/bf16_ab_{name}")
         workdir.mkdir(parents=True, exist_ok=True)
         ckpt = workdir / "checkpoints" / "vitti_dct"
@@ -87,11 +94,26 @@ def main() -> None:
             "test_loss": round(res["test"]["loss"], 4),
         }
 
-    arms = {"f32": run_arm("f32", False), "bf16": run_arm("bf16", True)}
+    if args.f32_from:
+        bis = json.loads((OUT.parent / "CROPBISECT.json").read_text())
+        src = bis[args.f32_from]
+        want_warmup = args.warmup or min(300, args.steps // 3)
+        assert (src["steps"], src["batch"]) == (args.steps, args.batch) and \
+            src["transfer"] == "cropped" and src["packed_k"] == 16 and \
+            src["aug"] and not src.get("fmt") and not src.get("lr") and \
+            src.get("warmup", want_warmup) == want_warmup, src
+        f32 = {"amp": False, "epochs": src["epochs"],
+               "val_acc": src["val_acc"], "test_acc": src["test_acc"],
+               "test_loss": src["test_loss"],
+               "from": f"CROPBISECT.json[{args.f32_from}]"}
+    else:
+        f32 = run_arm("f32", False)
+    arms = {"f32": f32, "bf16": run_arm("bf16", True)}
     delta = arms["bf16"]["val_acc"] - arms["f32"]["val_acc"]
     row = {
-        "recipe": "dct-nomix (preset vitti, no mixup, warmup 300)",
-        "steps": args.steps, "batch": args.batch, "arms": arms,
+        "recipe": "dct-nomix (preset vitti, no mixup)",
+        "steps": args.steps, "batch": args.batch,
+        "warmup": args.warmup or min(300, args.steps // 3), "arms": arms,
         "val_acc_delta_bf16_minus_f32": round(delta, 4),
         "noise_band": 0.1,
         "within_noise": bool(abs(delta) <= 0.1),
