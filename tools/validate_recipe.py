@@ -73,7 +73,7 @@ def make_dataset(root: Path) -> tuple[Path, Path]:
 
 
 def run(domain: str, amp: bool, batch: int, total_steps: int, workdir: Path,
-        mixup: bool = True) -> dict:
+        mixup: bool = True, arch: str = "vitti", warmup: int = 0) -> dict:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
@@ -85,7 +85,7 @@ def run(domain: str, amp: bool, batch: int, total_steps: int, workdir: Path,
     train_idx, val_idx = make_dataset(Path("/tmp/recipe_ds"))
 
     preset_batch = 1024
-    cfg = generate_config("vitti", domain, modelver=1,
+    cfg = generate_config(arch, domain, modelver=1,
                           amp=True if amp else None,
                           ampdtype="bf16" if amp else None)
     base_lr, base_wd = cfg.train.lr, cfg.train.wd
@@ -101,11 +101,14 @@ def run(domain: str, amp: bool, batch: int, total_steps: int, workdir: Path,
     # which is itself evidence the warmup mechanism matters exactly as the
     # reference sized it).  300 steps is the shortest stable warmup for this
     # depth/lr; the warmup->cosine machinery is unchanged.
-    cfg.train.warmup = min(300, total_steps // 3)
+    # --warmup overrides (round-5: the torch-family init needs a longer
+    # warmup to escape the plateau at depth 12 than the zero-bias init the
+    # 300-step default was tuned on)
+    cfg.train.warmup = warmup or min(300, total_steps // 3)
 
     workdir.mkdir(parents=True, exist_ok=True)
     save = workdir / "model.msgpack"
-    ckpt_dir = workdir / "checkpoints" / f"vitti_{domain.lower()}"
+    ckpt_dir = workdir / "checkpoints" / f"{arch}_{domain.lower()}"
     load_ckpt = str(ckpt_dir) if ckpt_dir.exists() and any(ckpt_dir.iterdir()) else ""
     res = train_and_eval(
         cfg, str(train_idx), str(val_idx), savepath=str(save),
@@ -115,6 +118,7 @@ def run(domain: str, amp: bool, batch: int, total_steps: int, workdir: Path,
         # need the reference's every-epoch cadence to prove recipe fidelity
     )
     return {
+        "arch": arch,
         "domain": domain, "amp": amp, "batch": batch, "mixup": mixup,
         "epochs": cfg.train.epochs, "steps_per_epoch": steps_per_epoch,
         "lr": cfg.train.lr, "wd": base_wd, "warmup": cfg.train.warmup,
@@ -134,6 +138,11 @@ def main() -> None:
                     choices=("dct", "dct-bf16", "rgb",
                              "dct-nomix", "dct-nomix-bf16", "rgb-nomix"))
     ap.add_argument("--steps", type=int, default=1100)
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="override warmup steps (0 = min(300, steps//3))")
+    ap.add_argument("--arch", default="vitti", choices=("vitti", "swinv2"))
+    ap.add_argument("--tag", default="", help="suffix for the result key and "
+                    "workdir (e.g. a longer-horizon rerun)")
     args = ap.parse_args()
 
     results = json.loads(OUT.read_text()) if OUT.exists() else {}
@@ -146,9 +155,13 @@ def main() -> None:
         "rgb-nomix": ("rgb", False, False),
     }
     domain, amp, mixup = variants[args.run]
+    key = args.run if args.arch == "vitti" else f"{args.arch}-{args.run}"
+    if args.tag:
+        key += f"-{args.tag}"
     r = run(domain, amp=amp, batch=128, total_steps=args.steps, mixup=mixup,
-            workdir=Path("/tmp/recipe_run_" + args.run.replace("-", "_")))
-    results[args.run] = r
+            arch=args.arch, warmup=args.warmup,
+            workdir=Path("/tmp/recipe_run_" + key.replace("-", "_")))
+    results[key] = r
     OUT.write_text(json.dumps(results, indent=1))
     print(json.dumps(r))
 
