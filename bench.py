@@ -37,6 +37,10 @@ REFERENCE_PIPELINE_FPS = 277.7
 BATCH = 256
 N_IMAGES = 2 * BATCH  # must exceed one global batch (drop_last loader)
 MEASURE_ITERS = 40
+# host crop-pack runs ~730 img/s/core (BENCHMARKS.md); 2 threads ~1.46k img/s
+# was the round-4 setting — RGBNM_BENCH_THREADS lets the waterfall experiment
+# vary loader parallelism without touching the one-JSON-line contract
+LOADER_THREADS = int(os.environ.get("RGBNM_BENCH_THREADS", "2"))
 
 
 def make_synthetic_dataset(root: Path, n: int) -> Path:
@@ -91,7 +95,7 @@ def main() -> None:
     loader = DctCroppedLoader(
         ds, trainer.global_batch(), target=cfg.model.dct_blocks,
         k=trainer.packed_k, mode="train", shuffle=True, drop_last=True,
-        seed=0, num_threads=2, prefetch=4,
+        seed=0, num_threads=LOADER_THREADS, prefetch=4,
     )
     if len(loader) == 0:
         raise RuntimeError("benchmark loader produced zero batches")
