@@ -32,15 +32,40 @@ from rgbnomore_tpu.models.subblock import (
 # torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) -> variance 1/(3 fan_in)
 torch_linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
+# Bias init family (round-5).  "torch" is the reference-parity default
+# (U(+-1/sqrt(fan_in)), the torch nn.Linear/Conv2d default the reference's
+# plainvit inherits — no explicit init there).  "zeros" is the round-2/3
+# era family (kaiming-uniform kernels + zero biases): short-horizon proxy
+# tooling selects it via cfg.model.bias_init because the uniform bias draw
+# delays depth-12 plateau escape beyond proxy horizons (CROPBISECT round-5:
+# every wire flat at 1.1k-4k steps under "torch"; the same recipe took off
+# at 2k steps under "zeros"), while at the reference's real scale (batch
+# 1024, 10k warmup, 375k steps) the torch family is what its checkpoints
+# prove out.
+_BIAS_FAMILY = "torch"
+
+
+def set_bias_family(family: str) -> None:
+    """Select the bias init family for subsequently *initialized* models
+    ("torch" | "zeros").  Read at flax-init time, so call before
+    ``model.init`` — ``build_model``/``Trainer`` do this from
+    ``cfg.model.bias_init``."""
+    global _BIAS_FAMILY
+    assert family in ("torch", "zeros"), family
+    _BIAS_FAMILY = family
+
 
 def torch_bias_init(fan_in: int):
     """torch nn.Linear/Conv2d default bias init: U(-1/sqrt(fan_in),
     1/sqrt(fan_in)).  Flax bias initializers only see the bias shape, which
     has no fan-in, so the caller closes over the layer's input width
-    (``x.shape[-1]`` at the call site, or in_ch*kh*kw for convs)."""
+    (``x.shape[-1]`` at the call site, or in_ch*kh*kw for convs).  Honors
+    ``set_bias_family`` ("zeros" -> zero biases, the round-2/3 family)."""
     bound = 1.0 / math.sqrt(max(1, fan_in))
 
     def init(key, shape, dtype=jnp.float32):
+        if _BIAS_FAMILY == "zeros":
+            return jnp.zeros(shape, dtype)
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     return init

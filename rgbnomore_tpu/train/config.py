@@ -44,6 +44,10 @@ class ModelConfig:
     depth: Sequence[int] | int = 12
     mixup: bool = True
     amp_dtype: str = "fp16"  # reference default; on TPU 'bf16' is used
+    # bias init family: "torch" = reference-parity U(+-1/sqrt(fan_in))
+    # (default); "zeros" = the round-2/3 zero-bias family, selected by
+    # short-horizon proxy tooling (see models/embeddings.py set_bias_family)
+    bias_init: str = "torch"
     # SwinV2-only
     window_size: int = 8
     mlp_ratio: int = 4
@@ -296,6 +300,9 @@ def build_model(cfg: Config, dtype=None):
 
     if dtype is None:
         dtype = amp_compute_dtype(cfg)
+    from rgbnomore_tpu.models.embeddings import set_bias_family
+
+    set_bias_family(cfg.model.bias_init)
     if cfg.model.arch == "swinv2":
         return SwinTransformerV2(
             img_size=cfg.model.input_size,

@@ -140,6 +140,39 @@ def _tiny_setup():
     return cfg, model, state
 
 
+def test_bias_init_family_switch():
+    """cfg.model.bias_init selects the family at init time: 'torch' (default,
+    reference-parity fan-in uniform) draws nonzero biases; 'zeros' (the
+    round-2/3 proxy family) zeroes every bias while kernels stay
+    kaiming-uniform.  build_model must restore the default for later models."""
+    import dataclasses
+
+    y = jnp.zeros((1, 1, 8, 8, 8, 8), jnp.float32)
+    c = jnp.zeros((1, 2, 4, 4, 8, 8), jnp.float32)
+
+    def init_params(bias_init):
+        cfg = generate_config("vitti", "dct")
+        cfg.model.depth = 2
+        cfg.model.dct_blocks = 8
+        cfg.model.classes = 11
+        cfg.model.bias_init = bias_init
+        model = build_model(cfg, dtype=jnp.float32)
+        return model.init(jax.random.PRNGKey(0), y, c)["params"]
+
+    flat_t = jax.tree_util.tree_flatten_with_path(init_params("torch"))[0]
+    flat_z = jax.tree_util.tree_flatten_with_path(init_params("zeros"))[0]
+    biases_t = [leaf for path, leaf in flat_t if "bias" in str(path)]
+    biases_z = [leaf for path, leaf in flat_z if "bias" in str(path)]
+    assert biases_t and len(biases_t) == len(biases_z)
+    assert any(float(jnp.abs(b).max()) > 0 for b in biases_t)
+    assert all(float(jnp.abs(b).max()) == 0 for b in biases_z)
+    # kernels identical across families (same PRNG stream, biases-only switch)
+    kern_t = [leaf for path, leaf in flat_t if "kernel" in str(path)]
+    kern_z = [leaf for path, leaf in flat_z if "kernel" in str(path)]
+    for a, b in zip(kern_t, kern_z):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_step_reduces_loss(rng):
     cfg, model, state = _tiny_setup()
     y = jnp.asarray(rng.standard_normal((4, 1, 8, 8, 8, 8)).astype(np.float32))

@@ -69,6 +69,13 @@ ARMS = {
     # the SHIPPED default wire exactly as train.py configures it (cropped
     # mask16, K=16, aug on) — the arm the takeoff-horizon reruns use
     "crop_aug": dict(transfer="cropped", packed_k=16, aug=True),
+    # the DEFAULT wire under the round-2/3 zero-bias init family — the
+    # apples-to-apples control for RECIPE_PROXY's packed 0.3983 (also a
+    # zero-bias-era run): same init era, shipped wire (round-5)
+    "crop_zb": dict(transfer="cropped", packed_k=16, aug=True,
+                    bias_init="zeros"),
+    "pack_zb": dict(transfer="packed", packed_k=16, aug=True,
+                    bias_init="zeros"),
 }
 
 
@@ -109,6 +116,7 @@ def main() -> None:
     cfg = generate_config("vitti", "dct", modelver=1)
     cfg.model.classes = CLASSES
     cfg.model.mixup = False
+    cfg.model.bias_init = spec.get("bias_init", "torch")
     cfg.train.batch_size = args.batch
     if spec.get("lr"):
         cfg.train.lr = spec["lr"]
