@@ -47,6 +47,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--warmup", type=int, default=0,
                     help="override warmup steps (0 = min(300, steps//3))")
+    ap.add_argument("--bias-init", default="torch", choices=("torch", "zeros"),
+                    help="init family for BOTH arms (round-5: 'zeros' is the "
+                    "family that takes off at proxy horizons; the A/B is "
+                    "about compute dtype, not init)")
     ap.add_argument("--f32-from", default="",
                     help="reuse a recorded CROPBISECT.json arm as the f32 "
                     "side (must match steps/batch/warmup and the cropped "
@@ -71,11 +75,15 @@ def main() -> None:
                               amp=amp, ampdtype="bf16" if amp else None)
         cfg.model.classes = CLASSES
         cfg.model.mixup = False  # dct-nomix recipe
+        cfg.model.bias_init = args.bias_init
         cfg.train.batch_size = args.batch
         steps_per_epoch = (N_IMAGES * 9 // 10) * 99 // 100 // args.batch
         cfg.train.epochs = max(1, args.steps // steps_per_epoch)
         cfg.train.warmup = args.warmup or min(300, args.steps // 3)
-        workdir = Path(f"/tmp/bf16_ab_{name}")
+        # workdir keyed on the full arm config: a resume from a different
+        # config's checkpoints is exactly the round-4 stale-control bug
+        workdir = Path(
+            f"/tmp/bf16_ab_{name}_{args.bias_init}_{args.steps}s{args.warmup}w")
         workdir.mkdir(parents=True, exist_ok=True)
         ckpt = workdir / "checkpoints" / "vitti_dct"
         print(f"=== arm {name} (amp={amp}) ===", flush=True)
@@ -101,7 +109,8 @@ def main() -> None:
         assert (src["steps"], src["batch"]) == (args.steps, args.batch) and \
             src["transfer"] == "cropped" and src["packed_k"] == 16 and \
             src["aug"] and not src.get("fmt") and not src.get("lr") and \
-            src.get("warmup", want_warmup) == want_warmup, src
+            src.get("warmup", want_warmup) == want_warmup and \
+            src.get("bias_init", "torch") == args.bias_init, src
         f32 = {"amp": False, "epochs": src["epochs"],
                "val_acc": src["val_acc"], "test_acc": src["test_acc"],
                "test_loss": src["test_loss"],
@@ -112,6 +121,7 @@ def main() -> None:
     delta = arms["bf16"]["val_acc"] - arms["f32"]["val_acc"]
     row = {
         "recipe": "dct-nomix (preset vitti, no mixup)",
+        "bias_init": args.bias_init,
         "steps": args.steps, "batch": args.batch,
         "warmup": args.warmup or min(300, args.steps // 3), "arms": arms,
         "val_acc_delta_bf16_minus_f32": round(delta, 4),

@@ -73,7 +73,8 @@ def make_dataset(root: Path) -> tuple[Path, Path]:
 
 
 def run(domain: str, amp: bool, batch: int, total_steps: int, workdir: Path,
-        mixup: bool = True, arch: str = "vitti", warmup: int = 0) -> dict:
+        mixup: bool = True, arch: str = "vitti", warmup: int = 0,
+        bias_init: str = "torch") -> dict:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
@@ -91,6 +92,9 @@ def run(domain: str, amp: bool, batch: int, total_steps: int, workdir: Path,
     base_lr, base_wd = cfg.train.lr, cfg.train.wd
     cfg.model.classes = CLASSES  # the only model change vs the preset
     cfg.model.mixup = mixup
+    # 'zeros' = round-2/3 era family: the torch-parity default cannot escape
+    # the depth-12 plateau at proxy horizons (CROPBISECT crop_aug_h4k)
+    cfg.model.bias_init = bias_init
     cfg.train.batch_size = batch
     # lr/wd/warmup-fraction/aug/mixup are the preset's own values
     steps_per_epoch = (N_IMAGES * 9 // 10) * 99 // 100 // batch
@@ -118,7 +122,7 @@ def run(domain: str, amp: bool, batch: int, total_steps: int, workdir: Path,
         # need the reference's every-epoch cadence to prove recipe fidelity
     )
     return {
-        "arch": arch,
+        "arch": arch, "bias_init": bias_init,
         "domain": domain, "amp": amp, "batch": batch, "mixup": mixup,
         "epochs": cfg.train.epochs, "steps_per_epoch": steps_per_epoch,
         "lr": cfg.train.lr, "wd": base_wd, "warmup": cfg.train.warmup,
@@ -141,6 +145,7 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=0,
                     help="override warmup steps (0 = min(300, steps//3))")
     ap.add_argument("--arch", default="vitti", choices=("vitti", "swinv2"))
+    ap.add_argument("--bias_init", default="torch", choices=("torch", "zeros"))
     ap.add_argument("--tag", default="", help="suffix for the result key and "
                     "workdir (e.g. a longer-horizon rerun)")
     args = ap.parse_args()
@@ -156,11 +161,15 @@ def main() -> None:
     }
     domain, amp, mixup = variants[args.run]
     key = args.run if args.arch == "vitti" else f"{args.arch}-{args.run}"
+    if args.bias_init != "torch":
+        key += f"-{args.bias_init}"
     if args.tag:
         key += f"-{args.tag}"
+    # workdir keyed on the full run config: resuming another config's
+    # checkpoints is exactly the round-4 stale-control bug
     r = run(domain, amp=amp, batch=128, total_steps=args.steps, mixup=mixup,
-            arch=args.arch, warmup=args.warmup,
-            workdir=Path("/tmp/recipe_run_" + key.replace("-", "_")))
+            arch=args.arch, warmup=args.warmup, bias_init=args.bias_init,
+            workdir=Path(f"/tmp/recipe_run_{key}_{args.steps}s".replace("-", "_")))
     results[key] = r
     OUT.write_text(json.dumps(results, indent=1))
     print(json.dumps(r))
