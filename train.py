@@ -99,6 +99,14 @@ def parse_args():
     p.add_argument("--amp", type=int, default=-1)
     p.add_argument("--ampdtype", type=str, default="")
     p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--bias_init", type=str, default="",
+                   choices=("", "torch", "zeros"),
+                   help="Bias init family: 'torch' (default; the reference's "
+                        "U(+-1/sqrt(fan_in)) nn.Linear/Conv family) or "
+                        "'zeros'. Short-horizon runs escape the depth-12 "
+                        "warmup plateau much earlier under 'zeros' "
+                        "(BENCHMARKS.md round-5 closure); at the reference's "
+                        "full scale the torch family is the proven one.")
     p.add_argument("--max_steps_per_epoch", type=int, default=0,
                    help="Debug: cap steps per epoch")
     return p.parse_args()
@@ -149,6 +157,8 @@ def main():
         ampdtype=None if args.ampdtype == "" else args.ampdtype,
         deterministic=args.deterministic or None,
     )
+    if args.bias_init:
+        cfg.model.bias_init = args.bias_init
     from rgbnomore_tpu.train.config import configure_determinism
 
     configure_determinism(cfg)
