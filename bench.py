@@ -85,7 +85,12 @@ def main() -> None:
 
     index = make_synthetic_dataset(Path("/tmp/rgbnomore_bench"), N_IMAGES)
 
-    cfg = generate_config("vitti", "dct", modelver=1, batchsize=BATCH)
+    # default stays the reference's f32 vitti preset (like-for-like headline,
+    # configs.py:93); RGBNM_BENCH_AMP=bf16 measures the accuracy-gated bf16
+    # compute path (BWD_PROBE.json train_ab) for the BENCHMARKS.md e2e row
+    amp = os.environ.get("RGBNM_BENCH_AMP", "")
+    cfg = generate_config("vitti", "dct", modelver=1, batchsize=BATCH,
+                          amp=True if amp else None, ampdtype=amp or None)
     cfg = update_runtime(cfg, jax.device_count())
     # crop-before-pack transfer: host samples the crop box, resizes to the
     # 28-block target and ships only the target grid (~31 KB/img vs 154 KB
