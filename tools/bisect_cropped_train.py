@@ -76,6 +76,10 @@ ARMS = {
                     bias_init="zeros"),
     "pack_zb": dict(transfer="packed", packed_k=16, aug=True,
                     bias_init="zeros"),
+    # full-spectrum dense wire, same init era: crop_zb vs dense_zb is the
+    # train-side K=16-vs-dense accuracy A/B (KSWEEP train section)
+    "dense_zb": dict(transfer="dense", packed_k=None, aug=True,
+                     bias_init="zeros"),
 }
 
 
